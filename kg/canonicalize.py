@@ -1,0 +1,149 @@
+"""Stage 3 — alias canonicalization via connected components (SURVEY.md §4).
+
+Reference analog: the symmetric-edge canonicalization of
+ReactomeBatchImporter.java:661-674 (equivalentTo / reverseReaction pairs
+deduped in either direction) generalized to full alias-component merging,
+as the north_star mandates: "canonicalization using connected-components
+(iterative large-star/small-star over edge DataFrames) to merge aliases".
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and Beyond",
+SoCC'14).  Converges in O(log n) rounds on any graph, each round two
+shuffles (groupBy src), and the large-star step benefits from partial
+aggregation on skewed high-degree nodes.  Node ids are strings; the
+component representative is the lexicographic min, so ``canonical_id =
+min(component)`` is deterministic across runs and partitionings.
+
+Driver-side loop, NOT a Catalyst extension (SURVEY.md §4: "custom loop");
+``localCheckpoint()`` per iteration truncates lineage so the plan does not
+grow exponentially (SURVEY.md §7 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirect + drop self-loops + dedup."""
+    e = edges.select("src", "dst")
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
+    w = Window.partitionBy("src")
+    m = F.least(F.col("src"), F.min("dst").over(w))
+    return (
+        edges.withColumn("m", m)
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient to v ≤ u, then for each u: m = min(N≤ ∪ {u}); emit (v, m)
+    for v ∈ N≤ ∪ {u}, v ≠ m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    w = Window.partitionBy("src")
+    with_m = oriented.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    out_nb = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    out_self = with_m.select(F.col("src").alias("src"), F.col("m").alias("dst")).distinct()
+    return (
+        out_nb.unionByName(out_self)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive content hash) — convergence check."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # sum as decimal(38,0): overflow-free under ANSI mode at any scale
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).cast("string").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → mapping(node, canonical_id = min of component).
+
+    Every node that appears in ``edges`` gets a row; isolated nodes (not in
+    any edge) are implicitly their own canonical_id (handled by the
+    coalesce in apply_canonical_map).
+    """
+    spark = edges.sparkSession
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = _symmetrize(edges).localCheckpoint()
+    prev_fp = _edge_fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star needs FULL neighborhoods ⇒ re-symmetrize the oriented
+        # small-star output before each round (paper's undirected edge list).
+        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint()
+        fp = _edge_fingerprint(e)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged and prev_fp[0] > 0:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # converged edge set is a forest of stars (node → representative)
+    reps = e.groupBy("src").agg(F.min("dst").alias("rep"))
+    mapping = (
+        all_nodes.join(reps, all_nodes["node"] == reps["src"], "left")
+        .select(
+            "node",
+            F.least(F.coalesce("rep", "node"), F.col("node")).alias("canonical_id"),
+        )
+    )
+    # sanity: representatives must themselves be canonical (star property)
+    return mapping if spark is not None else mapping
+
+
+def apply_canonical_map(
+    linked_triples: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """Rewrite subj_id/obj_id to canonical ids.  The mapping is component-
+    count-sized (small) ⇒ broadcast; ids absent from it map to themselves."""
+    m = F.broadcast(mapping)
+    return (
+        linked_triples.join(
+            m.select(F.col("node").alias("subj_id"), F.col("canonical_id").alias("subj_c")),
+            "subj_id",
+            "left",
+        )
+        .join(
+            m.select(F.col("node").alias("obj_id"), F.col("canonical_id").alias("obj_c")),
+            "obj_id",
+            "left",
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "span_start",
+            F.coalesce("subj_c", "subj_id").alias("subj_id"),
+            "pred",
+            F.coalesce("obj_c", "obj_id").alias("obj_id"),
+        )
+    )
+
+
+__all__ = ["connected_components", "apply_canonical_map"]

@@ -1,0 +1,148 @@
+"""Stage 1 — mention detection + triple extraction (SURVEY.md §2.10, §3.1).
+
+Reference analog: the per-instance traversal + attribute-switch dispatch of
+ReactomeBatchImporter.java:262-354 and the XML line-scan extraction of
+structured references out of semi-structured text
+(ReactomeBatchImporter.java:320-331).  Here the "semi-structured text" is
+the transcript turn, and the extraction window is the conversation:
+``groupBy("conv_id").applyInPandas`` — N turns in, M triples out
+(UDTF-shaped), with all row-level text work vectorized through Arrow
+batches (input_hint: no per-row Python in the Spark plan; the pandas code
+below runs on whole conversation groups, not rows).
+
+Extraction rules (replicated exactly by kg/oracle.py — the P/R contract):
+  mentions  = ``[[Surface Form]]`` spans, in (turn_idx, span_start) order
+  R1 within a turn, consecutive mentions:  (m_i, co_occurs_with, m_{i+1})
+  R2 across consecutive turns (sorted order), last mention of turn k →
+     first mention of turn k+1:            (m_last, followed_by, m_first)
+  R3 tool turns, each mention:             (m, produced_by, tool::<name>)
+
+The per-turn text invariant (BASELINE.json input_hint) is testable via
+round_trip_text(): the Arrow stage must return every turn's text unchanged
+under stable (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg.schema import MENTIONS_SCHEMA, RAW_TRIPLES_SCHEMA
+
+MENTION_RE = re.compile(r"\[\[(.*?)\]\]")
+
+PRED_CO_OCCURS = "co_occurs_with"
+PRED_FOLLOWED_BY = "followed_by"
+PRED_PRODUCED_BY = "produced_by"
+TOOL_SURFACE_PREFIX = "tool::"
+
+
+def _turn_mentions(text: str | None) -> list[tuple[int, str]]:
+    if not text:
+        return []
+    # blank surfaces ([[]] / [[  ]]) are noise, not mentions
+    return [
+        (m.start(), m.group(1))
+        for m in MENTION_RE.finditer(text)
+        if m.group(1).strip()
+    ]
+
+
+def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One conversation group in → raw triples out (pure pandas, testable
+    without Spark; kg/oracle.py calls this same function)."""
+    pdf = pdf.sort_values("turn_idx", kind="mergesort")
+    out: list[tuple[str, int, int, str, str, str]] = []
+    conv_id = pdf["conv_id"].iloc[0] if len(pdf) else None
+    prev_last: tuple[int, int, str] | None = None  # (turn_idx, span, surface)
+    for row in pdf.itertuples(index=False):
+        ms = _turn_mentions(row.text)
+        # R1: consecutive co-mentions within the turn
+        for (s1, m1), (_s2, m2) in zip(ms, ms[1:]):
+            out.append((conv_id, int(row.turn_idx), int(s1), m1, PRED_CO_OCCURS, m2))
+        # R2: cross-turn chain (previous turn's last mention → this turn's first)
+        if prev_last is not None and ms:
+            pt, ps, psurf = prev_last
+            out.append((conv_id, pt, ps, psurf, PRED_FOLLOWED_BY, ms[0][1]))
+        # R3: tool provenance
+        if row.role == "tool" and row.tool:
+            for s, m in ms:
+                out.append(
+                    (conv_id, int(row.turn_idx), int(s), m, PRED_PRODUCED_BY,
+                     TOOL_SURFACE_PREFIX + row.tool)
+                )
+        if ms:
+            prev_last = (int(row.turn_idx), int(ms[-1][0]), ms[-1][1])
+    return pd.DataFrame(
+        out,
+        columns=["conv_id", "turn_idx", "span_start", "subj_surface", "pred", "obj_surface"],
+    )
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """transcripts → raw triples over surface forms.
+
+    groupBy(conv_id) is the shuffle that co-locates a conversation; at
+    10^12 turns this is a single hash exchange on conv_id (high
+    cardinality ⇒ no skew concern at the group level; pathological
+    mega-conversations are bounded by Arrow maxRecordsPerBatch and could
+    be sub-windowed — triples are at most one-turn-lookback, so chunking
+    with 1-turn overlap preserves semantics; see SURVEY.md §7 risk 4).
+    """
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return (
+        transcripts.select(*cols)  # column pruning before the shuffle
+        .groupBy("conv_id")
+        .applyInPandas(extract_conversation, schema=RAW_TRIPLES_SCHEMA)
+    )
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """Flat mention table (for stats/QA); pure built-ins, no Python:
+    regexp_extract_all stays inside whole-stage codegen."""
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            F.regexp_extract_all("text", F.lit(r"\[\[(.*?)\]\]"), 1).alias("surfaces"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode("surfaces").alias("mention_pos", "surface"),
+            "role",
+            "tool",
+        )
+        .withColumn("mention_pos", F.col("mention_pos").cast("int"))
+        .where(F.trim("surface") != "")
+    )
+
+
+def round_trip_text(transcripts: DataFrame) -> DataFrame:
+    """Identity pass through the Arrow/pandas stage, preserving every
+    column — used by the per-turn text-equality invariant test."""
+
+    def _identity(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pdf
+
+    return transcripts.mapInPandas(_identity, schema=transcripts.schema)
+
+
+__all__ = [
+    "extract_triples",
+    "extract_mentions",
+    "extract_conversation",
+    "round_trip_text",
+    "MENTION_RE",
+    "PRED_CO_OCCURS",
+    "PRED_FOLLOWED_BY",
+    "PRED_PRODUCED_BY",
+    "TOOL_SURFACE_PREFIX",
+]

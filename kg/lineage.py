@@ -1,0 +1,100 @@
+"""Per-partition lineage + checkpointed resumability (SURVEY.md §2.9).
+
+Reference analog: the provenance nodes (TrackingObjects.java:34-80 —
+importer Person node, InstanceEdit with timestamp, created/author edges)
+and the coarse progress/elapsed logging (ReactomeBatchImporter.java:139,
+172-173,187-191).  Spark design per SURVEY: each stage writes a parquet
+(Iceberg-shaped) table plus a ``_manifest.json`` recording stage name,
+input snapshot id, per-partition row counts, and wall time; a restarted
+run skips stages whose manifest matches the current input snapshot —
+the anti-join-vs-completed-work semantics, implemented at stage
+granularity (atomic overwrite per stage ⇒ idempotent retries; SURVEY.md
+§7 risk 5: never non-idempotent appends).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts of a materialized DataFrame (the
+    north_rule's "per-partition lineage + metrics")."""
+    rows = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["count"])} for r in rows]
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, f"_manifest_{stage}.json")
+
+
+def stage_is_complete(out_dir: str, stage: str, input_snapshot: str) -> bool:
+    """A stage is resumable-past iff its manifest exists AND was produced
+    from the same input snapshot (content checksum, not mtime)."""
+    p = _manifest_path(out_dir, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("input_snapshot") == input_snapshot and os.path.exists(
+            os.path.join(m["path"], "_SUCCESS")
+        )
+    except (json.JSONDecodeError, KeyError, OSError):
+        return False
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    input_snapshot: str,
+) -> dict:
+    """Materialize one stage atomically (overwrite) + manifest.
+
+    Parquet ``mode=overwrite`` gives replace-on-retry semantics; on a real
+    deployment this is an Iceberg ``createOrReplace`` snapshot commit —
+    the safe version of the reference's constraints-deferred BatchInserter
+    shutdown (README.md:7 of the reference).
+    """
+    path = os.path.join(out_dir, stage)
+    t0 = time.monotonic()
+    df.write.mode("overwrite").parquet(path)
+    elapsed = time.monotonic() - t0
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    lineage = partition_lineage(written)
+    manifest = {
+        "stage": stage,
+        "path": path,
+        "input_snapshot": input_snapshot,
+        "rows": int(sum(p["rows"] for p in lineage)),
+        "partitions": len(lineage),
+        "partition_lineage": lineage,
+        "wall_sec": round(elapsed, 3),
+    }
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+__all__ = [
+    "partition_lineage",
+    "write_stage",
+    "read_stage",
+    "stage_is_complete",
+]

@@ -1,0 +1,165 @@
+"""Stage 2 — blocking-key entity linking (SURVEY.md §2.3 J2/J3, §3.2).
+
+Reference analog: InteractionImporter.addInteractionData — build side
+``referenceEntityMap: "DB:identifier" → Set(dbId)``
+(InteractionImporter.java:62,341-385), probe side resolving each
+interactor accession to an existing node or creating a new one
+(InteractionImporter.java:100-137,196-273).  The reference does this as a
+per-row SQLite probe loop; here it is ONE declarative join:
+
+    mentions ⟕ broadcast(catalog-keyed-by-blocking-key)
+    hit  ⇒ catalog entity_id        (ambiguity resolved min(entity_id))
+    miss ⇒ minted deterministic id  ("new:<key>" / "tool:<name>")
+
+The catalog is a dimension (≪ probe side) ⇒ broadcast hash join: zero
+shuffle of the 10^12-row probe side, and broadcast is inherently
+skew-immune (a Zipfian-hot key never concentrates on one reducer because
+there is no reducer).  For the case where the catalog outgrows broadcast
+(no longer a dim), link_surfaces_salted provides the explicit
+salted shuffle-join path required by the north_rule, with a unit test
+proving salted ≡ broadcast results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kg.extract import TOOL_SURFACE_PREFIX
+
+MINTED_PREFIX = "new:"
+TOOL_ENTITY_PREFIX = "tool:"
+
+
+def norm_key(col: Column) -> Column:
+    """Blocking-key normalization, JVM-side (whole-stage codegen):
+    lower → trim → collapse internal whitespace.  Must match
+    kg.synth.norm_surface / the oracle exactly."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def build_link_index(catalog: DataFrame) -> DataFrame:
+    """Build side (J2): explode aliases → (blocking_key, entity_id);
+    ambiguity (shared alias) resolved deterministically to min(entity_id).
+
+    Partial aggregation (map-side combine) makes the min() cheap; the
+    result is a dimension keyed uniquely by blocking_key.
+    """
+    return (
+        catalog.select(F.explode("aliases").alias("alias"), "entity_id")
+        .select(norm_key(F.col("alias")).alias("blocking_key"), "entity_id")
+        .groupBy("blocking_key")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+
+
+def _mint(key_col: Column, catalog_id: Column) -> Column:
+    """Miss branch (J3 left-outer): deterministic content-derived ids —
+    never a global counter (reference uses ++maxDbId, which does not
+    distribute; SURVEY.md §7 risk 1)."""
+    tool_name = F.regexp_replace(key_col, f"^{TOOL_SURFACE_PREFIX}", "")
+    return (
+        F.when(catalog_id.isNotNull(), catalog_id)
+        .when(
+            key_col.startswith(TOOL_SURFACE_PREFIX),
+            F.concat(F.lit(TOOL_ENTITY_PREFIX), tool_name),
+        )
+        .otherwise(F.concat(F.lit(MINTED_PREFIX), key_col))
+    )
+
+
+def link_surfaces(surfaces: DataFrame, catalog: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """Probe (J3): map each distinct surface to an entity_id.
+
+    Returns (surface, blocking_key, entity_id, is_minted).  Linking on the
+    *distinct* surfaces (tiny vs. the triple stream) then rejoining keeps
+    the expensive work proportional to vocabulary, not corpus, size.
+    """
+    index = build_link_index(catalog)
+    probe = surfaces.select(F.col(surface_col).alias("surface")).distinct()
+    probe = probe.withColumn("blocking_key", norm_key(F.col("surface")))
+    joined = probe.join(F.broadcast(index), "blocking_key", "left")
+    return joined.select(
+        "surface",
+        "blocking_key",
+        _mint(F.col("blocking_key"), F.col("entity_id")).alias("entity_id"),
+        F.col("entity_id").isNull().alias("is_minted"),
+    )
+
+
+def link_triples(raw_triples: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Rewrite raw surface triples to entity-id triples.
+
+    Two broadcast joins against the (surface → entity_id) map — the map is
+    derived from the distinct surfaces of the triple stream itself, which
+    at transcript scale is vocabulary-sized (≪ broadcast threshold for
+    realistic catalogs; if not, swap in link_surfaces_salted).
+    """
+    surf = (
+        raw_triples.select(F.col("subj_surface").alias("surface"))
+        .unionByName(raw_triples.select(F.col("obj_surface").alias("surface")))
+    )
+    smap = link_surfaces(surf, catalog).select("surface", "entity_id")
+    return (
+        raw_triples.join(
+            F.broadcast(smap.withColumnRenamed("surface", "subj_surface")
+                        .withColumnRenamed("entity_id", "subj_id")),
+            "subj_surface",
+        )
+        .join(
+            F.broadcast(smap.withColumnRenamed("surface", "obj_surface")
+                        .withColumnRenamed("entity_id", "obj_id")),
+            "obj_surface",
+        )
+        .select("conv_id", "turn_idx", "span_start", "subj_id", "pred", "obj_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit skew path (north_rule: "partitioning / shuffle / skew handled
+# explicitly").  Used when the build side is too large to broadcast.
+# ---------------------------------------------------------------------------
+def link_surfaces_salted(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    surface_col: str = "surface",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Salted shuffle hash join: probe side gets salt = pmod(xxhash64(row
+    identity), K); build side is exploded ×K so every (key, salt) pair
+    exists.  A Zipfian-hot blocking key is thereby spread over K reducers
+    instead of one (SURVEY.md §2.3 note on J2/J3 at 10^12 scale).
+
+    Produces the same (surface → entity_id) mapping as link_surfaces —
+    asserted by tests/test_link.py::test_salted_equals_broadcast.
+    """
+    index = build_link_index(catalog)
+    salted_index = index.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    probe = (
+        surfaces.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("blocking_key", norm_key(F.col("surface")))
+        .withColumn("salt", F.pmod(F.xxhash64("surface"), F.lit(salt_buckets)).cast("int"))
+    )
+    joined = probe.hint("shuffle_hash").join(
+        salted_index, ["blocking_key", "salt"], "left"
+    )
+    return joined.select(
+        "surface",
+        "blocking_key",
+        _mint(F.col("blocking_key"), F.col("entity_id")).alias("entity_id"),
+        F.col("entity_id").isNull().alias("is_minted"),
+    )
+
+
+__all__ = [
+    "norm_key",
+    "build_link_index",
+    "link_surfaces",
+    "link_surfaces_salted",
+    "link_triples",
+    "MINTED_PREFIX",
+    "TOOL_ENTITY_PREFIX",
+]

@@ -1,0 +1,247 @@
+"""Stage 4 — graph materialization: kg.nodes / kg.edges + QA (SURVEY.md §2).
+
+Reference analogs:
+- A1 stoichiometry+order aggregation: ReactomeBatchImporter.java:630-655 +
+  GkInstancePropertiesHelper.java:5-32 — duplicate targets of one
+  (source, relation) collapse to one edge with ``stoichiometry`` = count
+  and ``order`` = first-appearance rank.
+- W1 first-appearance rank: ReactomeBatchImporter.java:635 — ours ranks by
+  (conv_id, turn_idx, span_start), deterministic, never
+  monotonically_increasing_id (SURVEY.md §7 risk 2).
+- D2 symmetric-edge canonicalization: ReactomeBatchImporter.java:661-674 —
+  symmetric predicates stored once under (least, greatest).
+- D3 direction flip: ReactomeBatchImporter.java:675-686 — passive-voice
+  predicates written reversed under the active name.
+- Node sink / deferred constraints: createNode + createConstraints
+  (ReactomeBatchImporter.java:573,707-758) — we write first, then QA
+  checks uniqueness (write-then-validate, Iceberg/parquet atomic replace
+  standing in for BatchInserter.shutdown()).
+- V1 consistency check: ReactomeBatchImporter.java:1126-1199 — nullability
+  categories (ReactomeAttribute.java:12-28) aggregated into a QA report.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kg.link import MINTED_PREFIX, TOOL_ENTITY_PREFIX
+from kg.schema import ATTRIBUTE_CATEGORIES, ENTITY_TYPE_LABELS, MANDATORY, REQUIRED
+
+# D2: predicates whose edges are undirected — store once, canonical direction.
+SYMMETRIC_PREDICATES = ["co_occurs_with"]
+# D3: predicates stored reversed under an active name (ReactomeBatchImporter
+# .java:675-686: author/created/modified etc. write (to, from)).
+REVERSED_PREDICATES = {"produced_by": "produces"}
+
+RUN_TS = dt.datetime(2025, 3, 1, 0, 0, 0)  # deterministic provenance stamp
+
+
+def build_edges(canonical_triples: DataFrame) -> DataFrame:
+    """canonical (subj, pred, obj) stream → aggregated edge table.
+
+    Order of operations (mirrors the reference):
+      1. drop self-loops created by alias merging
+      2. D3 direction flips            (pure projection, no shuffle)
+      3. D2 symmetric canonicalization (pure projection, no shuffle)
+      4. A1 stoichiometry agg          (one shuffle on (src, rel, dst);
+         partial aggregation collapses duplicates map-side first)
+      5. W1 order rank                 (window on (src, rel) — reuses the
+         same hash partitioning, AQE coalesces)
+    """
+    t = canonical_triples.where(F.col("subj_id") != F.col("obj_id"))
+
+    flipped = F.col("pred").isin(*REVERSED_PREDICATES.keys())
+    mapping = F.create_map(
+        *[F.lit(x) for kv in REVERSED_PREDICATES.items() for x in kv]
+    )
+    t = t.select(
+        "conv_id",
+        "turn_idx",
+        "span_start",
+        F.when(flipped, F.col("obj_id")).otherwise(F.col("subj_id")).alias("src"),
+        F.when(flipped, mapping[F.col("pred")]).otherwise(F.col("pred")).alias("rel_type"),
+        F.when(flipped, F.col("subj_id")).otherwise(F.col("obj_id")).alias("dst"),
+    )
+
+    sym = F.col("rel_type").isin(*SYMMETRIC_PREDICATES)
+    t = t.select(
+        "conv_id",
+        "turn_idx",
+        "span_start",
+        F.when(sym, F.least("src", "dst")).otherwise(F.col("src")).alias("src"),
+        "rel_type",
+        F.when(sym, F.greatest("src", "dst")).otherwise(F.col("dst")).alias("dst"),
+    )
+
+    agg = t.groupBy("src", "rel_type", "dst").agg(
+        F.count(F.lit(1)).cast("int").alias("stoichiometry"),
+        F.min(F.struct("conv_id", "turn_idx", "span_start")).alias("first_occ"),
+    )
+    w = Window.partitionBy("src", "rel_type").orderBy(F.col("first_occ"), F.col("dst"))
+    return agg.select(
+        "src",
+        "dst",
+        "rel_type",
+        "stoichiometry",
+        F.row_number().over(w).cast("int").alias("order"),
+        F.col("first_occ.conv_id").alias("conv_id"),
+        F.lit(RUN_TS).alias("created_ts"),
+        F.lit("materialize").alias("stage"),
+    )
+
+
+def build_nodes(
+    canonical_triples: DataFrame,
+    catalog: DataFrame,
+    mapping: DataFrame,
+    input_snapshot: str | None = None,
+) -> DataFrame:
+    """Distinct canonical entities → typed, labeled node table.
+
+    schema_class comes from the catalog entity_type of the component
+    representative; minted/tool ids get synthetic classes.  Labels are the
+    class-ancestry array from the broadcast ENTITY_TYPE_LABELS map (P8
+    analog, ReactomeBatchImporter.java:836-868); node_id is the
+    deterministic xxhash64 of canonical_id (SURVEY.md §1.4 visited-map row).
+    """
+    ids = (
+        canonical_triples.select(F.col("subj_id").alias("canonical_id"))
+        .unionByName(canonical_triples.select(F.col("obj_id").alias("canonical_id")))
+        .distinct()
+    )
+    # catalog rows keyed by their canonical representative: entity_id may be
+    # a merged alias, so push catalog attrs through the CC mapping first.
+    cat = (
+        catalog.join(
+            F.broadcast(mapping).withColumnRenamed("node", "entity_id"),
+            "entity_id",
+            "left",
+        )
+        .select(
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+            "entity_id",
+            "canonical_name",
+            "entity_type",
+        )
+        # representative row = min entity_id within the component
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_id").orderBy("entity_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "entity_id")
+    )
+    spark = canonical_triples.sparkSession
+    labels_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in ENTITY_TYPE_LABELS.items()],
+            "entity_type string, labels array<string>",
+        )
+    )
+    n = ids.join(F.broadcast(cat), "canonical_id", "left")
+    n = n.withColumn(
+        "schema_class",
+        F.when(F.col("entity_type").isNotNull(), F.col("entity_type"))
+        .when(F.col("canonical_id").startswith(TOOL_ENTITY_PREFIX), F.lit("tool"))
+        .otherwise(F.lit("minted")),
+    ).withColumn(
+        "display_name",
+        F.coalesce(
+            "canonical_name",
+            F.regexp_replace(
+                "canonical_id", f"^({MINTED_PREFIX}|{TOOL_ENTITY_PREFIX})", ""
+            ),
+        ),
+    )
+    n = n.join(labels_df, n["schema_class"] == labels_df["entity_type"], "left").drop(
+        labels_df["entity_type"]
+    )
+    return n.select(
+        F.xxhash64("canonical_id").alias("node_id"),
+        "canonical_id",
+        F.coalesce("labels", F.array(F.lit("Entity"))).alias("labels"),
+        "display_name",
+        "schema_class",
+        F.create_map(F.lit("source"), F.lit("kg-pipeline")).alias("properties"),
+        F.lit(RUN_TS).alias("created_ts"),
+        F.lit("materialize").alias("stage"),
+        F.lit(input_snapshot).cast("string").alias("input_snapshot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QA (V1/V2 analogs) — write-then-validate, like the reference's deferred
+# constraints.
+# ---------------------------------------------------------------------------
+def qa_uniqueness(df: DataFrame, keys: list[str]) -> DataFrame:
+    """V2: post-write uniqueness assertion data — rows violating the key."""
+    return df.groupBy(*keys).count().where(F.col("count") > 1)
+
+
+def qa_consistency(df: DataFrame, table: str) -> DataFrame:
+    """V1: nullability-category violations per column, as a report
+    DataFrame with the same CSV header as ReactomeBatchImporter.java:1173:
+    (SchemaClass, Attribute, Category, Error, violations)."""
+    cats = ATTRIBUTE_CATEGORIES.get(table, {})
+    checks = []
+    for col, cat in cats.items():
+        if col not in df.columns:
+            continue
+        is_str = dict(df.dtypes).get(col) == "string"
+        null_violation = F.col(col).isNull() if cat == MANDATORY else F.lit(False)
+        if is_str:
+            empty_violation = (
+                (F.col(col) == "") if cat in (MANDATORY, REQUIRED) else F.lit(False)
+            )
+        else:
+            empty_violation = F.lit(False)
+        checks.append(
+            F.struct(
+                F.lit(table).alias("SchemaClass"),
+                F.lit(col).alias("Attribute"),
+                F.lit(cat).alias("Category"),
+                F.lit("null-or-empty").alias("Error"),
+                F.sum((null_violation | empty_violation).cast("long")).alias("violations"),
+            ).alias(f"chk_{col}")
+        )
+    if not checks:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "SchemaClass string, Attribute string, Category string, Error string, violations long",
+        )
+    wide = df.agg(*checks)  # single pass over the table, one agg per column
+    stacked = wide.select(
+        F.explode(F.array(*[F.col(f.name) for f in wide.schema.fields])).alias("r")
+    )
+    return stacked.select("r.*").where(F.col("violations") > 0)
+
+
+def input_snapshot_checksum(spark: SparkSession, df: DataFrame) -> str:
+    """V3/S11 analog: content checksum of an input table (sum of row
+    hashes — the reference sums MySQL CHECKSUM TABLE per table,
+    ReactomeBatchImporter.java:1091-1122)."""
+    row = df.agg(
+        F.coalesce(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")), F.lit(0)
+        ).cast("string").alias("h")
+    ).collect()[0]
+    return f"xxh64:{int(row['h']) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+__all__ = [
+    "build_edges",
+    "build_nodes",
+    "qa_uniqueness",
+    "qa_consistency",
+    "input_snapshot_checksum",
+    "SYMMETRIC_PREDICATES",
+    "REVERSED_PREDICATES",
+    "RUN_TS",
+]

@@ -1,0 +1,118 @@
+"""End-to-end four-stage pipeline driver (SURVEY.md §3.1 Spark lifecycle).
+
+transcripts ──Stage1 extract──▶ raw_triples
+raw_triples × catalog ──Stage2 link──▶ linked_triples
+alias_pairs ──Stage3 CC──▶ canonical mapping ──▶ canonical_triples
+canonical_triples ──Stage4──▶ kg.nodes / kg.edges (+ QA + manifests)
+
+Two run modes:
+- run_pipeline(...): in-memory DataFrames end to end (tests, entry()).
+- run_pipeline_materialized(...): every stage lands in parquet with a
+  manifest; completed stages (same input snapshot) are skipped on rerun —
+  the checkpointed-resumability contract of the north_rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kg.canonicalize import apply_canonical_map, connected_components
+from kg.extract import extract_triples
+from kg.lineage import read_stage, stage_is_complete, write_stage
+from kg.link import link_triples
+from kg.materialize import (
+    build_edges,
+    build_nodes,
+    input_snapshot_checksum,
+    qa_consistency,
+    qa_uniqueness,
+)
+
+STAGES = ("raw_triples", "linked_triples", "canonical_triples", "nodes", "edges")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: DataFrame,
+    alias_pairs: DataFrame,
+    input_snapshot: str | None = None,
+) -> dict[str, DataFrame]:
+    """Lazy end-to-end plan; nothing is executed until an action."""
+    raw = extract_triples(transcripts)
+    linked = link_triples(raw, catalog)
+    mapping = connected_components(alias_pairs)  # has its own actions (fixpoint)
+    canonical = apply_canonical_map(linked, mapping)
+    edges = build_edges(canonical)
+    nodes = build_nodes(canonical, catalog, mapping, input_snapshot)
+    return {
+        "raw_triples": raw,
+        "linked_triples": linked,
+        "mapping": mapping,
+        "canonical_triples": canonical,
+        "nodes": nodes,
+        "edges": edges,
+    }
+
+
+def run_qa(nodes: DataFrame, edges: DataFrame) -> dict[str, int]:
+    """V1/V2 analogs; returns violation counts (all must be 0)."""
+    return {
+        "dup_node_ids": qa_uniqueness(nodes, ["node_id"]).count(),
+        "dup_canonical_ids": qa_uniqueness(nodes, ["canonical_id"]).count(),
+        "dup_edges": qa_uniqueness(edges, ["src", "rel_type", "dst"]).count(),
+        "node_consistency": qa_consistency(nodes, "nodes").count(),
+        "edge_consistency": qa_consistency(edges, "edges").count(),
+    }
+
+
+def run_pipeline_materialized(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: DataFrame,
+    alias_pairs: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Materialized run with per-stage manifests + resume.
+
+    Stage granularity matches the reference's four import phases
+    (ReactomeBatchImporter.java:145-149 ordered worklist); each stage is
+    an atomic overwrite, so a crash between stages resumes exactly at the
+    first incomplete stage (tested in tests/test_resume.py).
+    """
+    # snapshot covers ALL inputs: a change in any of them invalidates resume
+    snap = "xxh64:" + "-".join(
+        input_snapshot_checksum(spark, df).removeprefix("xxh64:")
+        for df in (transcripts, catalog, alias_pairs)
+    )
+    manifests: dict[str, dict] = {}
+
+    def _stage(name: str, build) -> DataFrame:
+        if resume and stage_is_complete(out_dir, name, snap):
+            manifests[name] = {"stage": name, "resumed": True}
+            return read_stage(spark, out_dir, name)
+        df = build()
+        manifests[name] = write_stage(df, out_dir, name, snap)
+        return read_stage(spark, out_dir, name)
+
+    raw = _stage("raw_triples", lambda: extract_triples(transcripts))
+    linked = _stage("linked_triples", lambda: link_triples(raw, catalog))
+    mapping = _stage("mapping", lambda: connected_components(alias_pairs))
+    canonical = _stage(
+        "canonical_triples", lambda: apply_canonical_map(linked, mapping)
+    )
+    nodes = _stage("nodes", lambda: build_nodes(canonical, catalog, mapping, snap))
+    edges = _stage("edges", lambda: build_edges(canonical))
+    qa = run_qa(nodes, edges)
+    return {
+        "input_snapshot": snap,
+        "manifests": manifests,
+        "qa": qa,
+        "nodes": nodes,
+        "edges": edges,
+        "canonical_triples": canonical,
+    }
+
+
+__all__ = ["run_pipeline", "run_pipeline_materialized", "run_qa", "STAGES"]

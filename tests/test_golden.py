@@ -1,0 +1,43 @@
+"""Golden end-to-end: Spark pipeline vs pure-Python oracle (SURVEY.md §5).
+
+The P/R ≥ 0.95 contract from BASELINE.json — in practice the two
+implementations must agree exactly (P = R = 1.0) on the seeded fixtures,
+including stoichiometry and order, and the QA constraints must hold.
+"""
+
+from __future__ import annotations
+
+from kg.oracle import oracle_edges, oracle_triples, precision_recall
+from kg.pipeline import run_pipeline, run_qa
+
+
+def test_golden_triples_pr(spark, transcripts_df, catalog_df, alias_pairs_df,
+                           transcripts_pdf, catalog_pdf, alias_pairs_pdf):
+    res = run_pipeline(spark, transcripts_df, catalog_df, alias_pairs_df)
+    edges = res["edges"].toPandas()
+    got = set(zip(edges["src"], edges["rel_type"], edges["dst"]))
+    exp = oracle_triples(transcripts_pdf, catalog_pdf, alias_pairs_pdf)
+    p, r = precision_recall(got, exp)
+    assert p >= 0.95 and r >= 0.95, f"P={p}, R={r}"
+    assert p == 1.0 and r == 1.0  # stronger: rule-exact
+
+    # full-row parity incl. stoichiometry + first-appearance order
+    oe = oracle_edges(transcripts_pdf, catalog_pdf, alias_pairs_pdf)
+    key = ["src", "dst", "rel_type", "stoichiometry", "order"]
+    a = edges[key].sort_values(key).reset_index(drop=True)
+    b = oe[key].sort_values(key).reset_index(drop=True).astype(a.dtypes.to_dict())
+    assert a.equals(b)
+
+
+def test_qa_constraints_hold(spark, transcripts_df, catalog_df, alias_pairs_df):
+    res = run_pipeline(spark, transcripts_df, catalog_df, alias_pairs_df)
+    qa = run_qa(res["nodes"], res["edges"])
+    assert all(v == 0 for v in qa.values()), qa
+
+
+def test_nodes_cover_edge_endpoints(spark, transcripts_df, catalog_df, alias_pairs_df):
+    res = run_pipeline(spark, transcripts_df, catalog_df, alias_pairs_df)
+    nodes = {r["canonical_id"] for r in res["nodes"].select("canonical_id").collect()}
+    edges = res["edges"].select("src", "dst").collect()
+    endpoints = {r["src"] for r in edges} | {r["dst"] for r in edges}
+    assert endpoints <= nodes

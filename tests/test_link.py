@@ -1,0 +1,62 @@
+"""Stage-2 linking unit tests (SURVEY.md §5: blocking-key normalization;
+salted-join equivalence to unsalted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.link import build_link_index, link_surfaces, link_surfaces_salted, norm_key
+
+
+def test_norm_key_matches_python_norm(spark):
+    from kg.synth import norm_surface
+
+    samples = ["  Quantum Kernel 0 ", "A\tB   C", "MIXED case", "x"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r[0] for r in df.select(norm_key(F.col("s"))).collect()]
+    assert got == [norm_surface(s) for s in samples]
+
+
+def test_ambiguity_resolves_to_min_entity(spark):
+    cat = spark.createDataFrame(
+        [
+            ("cat:Q2", "Foo", ["Shared Name"], "shared name", None, "concept", 1.0),
+            ("cat:Q1", "Bar", ["Shared Name"], "shared name", None, "concept", 1.0),
+        ],
+        "entity_id string, canonical_name string, aliases array<string>, "
+        "blocking_key string, prefix string, entity_type string, freq_hint double",
+    )
+    idx = build_link_index(cat).collect()
+    assert len(idx) == 1
+    assert idx[0]["entity_id"] == "cat:Q1"
+
+
+def test_miss_minting_and_tool_ids(spark, catalog_df):
+    surf = spark.createDataFrame(
+        [("Totally Unknown Thing",), ("tool::search",)], "surface string"
+    )
+    got = {r["surface"]: (r["entity_id"], r["is_minted"])
+           for r in link_surfaces(surf, catalog_df).collect()}
+    assert got["Totally Unknown Thing"] == ("new:totally unknown thing", True)
+    assert got["tool::search"] == ("tool:search", True)
+
+
+def test_hit_links_to_catalog(spark, catalog_df, catalog_pdf):
+    name = catalog_pdf["canonical_name"].iloc[5]
+    surf = spark.createDataFrame([(name.upper(),)], "surface string")
+    row = link_surfaces(surf, catalog_df).collect()[0]
+    assert row["entity_id"].startswith("cat:Q")
+    assert not row["is_minted"]
+
+
+def test_salted_equals_broadcast(spark, catalog_df, transcripts_df):
+    """north_rule skew path: salted shuffle join ≡ broadcast join."""
+    from kg.extract import extract_mentions
+
+    surfaces = extract_mentions(transcripts_df).select("surface")
+    a = {(r["surface"], r["entity_id"])
+         for r in link_surfaces(surfaces, catalog_df).collect()}
+    b = {(r["surface"], r["entity_id"])
+         for r in link_surfaces_salted(surfaces, catalog_df, salt_buckets=8).collect()}
+    assert a == b
+    assert len(a) > 50

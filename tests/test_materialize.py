@@ -1,0 +1,88 @@
+"""Stage-4 unit tests (SURVEY.md §5: order/stoichiometry vs hand-computed;
+symmetric-edge canonicalization; QA constraints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.materialize import build_edges, qa_consistency, qa_uniqueness
+
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, span_start int, "
+    "subj_id string, pred string, obj_id string"
+)
+
+
+def _edges(spark, rows):
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    return build_edges(df)
+
+
+def test_stoichiometry_and_order_hand_computed(spark):
+    # A mentions B twice then C once: stoichiometry 2/1, order 1/2
+    # (ReactomeBatchImporter.java:630-655 semantics).
+    rows = [
+        ("c1", 0, 0, "A", "followed_by", "B"),
+        ("c1", 1, 0, "A", "followed_by", "B"),
+        ("c1", 2, 0, "A", "followed_by", "C"),
+    ]
+    got = {(r["src"], r["dst"]): (r["stoichiometry"], r["order"])
+           for r in _edges(spark, rows).collect()}
+    assert got == {("A", "B"): (2, 1), ("A", "C"): (1, 2)}
+
+
+def test_order_is_first_appearance_not_count(spark):
+    # C appears first (turn 0) but only once; B appears twice starting turn 1
+    # → order: C=1, B=2 despite B's higher stoichiometry.
+    rows = [
+        ("c1", 0, 0, "A", "followed_by", "C"),
+        ("c1", 1, 0, "A", "followed_by", "B"),
+        ("c1", 2, 0, "A", "followed_by", "B"),
+    ]
+    got = {r["dst"]: r["order"] for r in _edges(spark, rows).collect()}
+    assert got == {"C": 1, "B": 2}
+
+
+def test_symmetric_dedup_least_greatest(spark):
+    # co_occurs_with is undirected: (B,A) and (A,B) collapse to one edge
+    # under (least, greatest) — ReactomeBatchImporter.java:661-674.
+    rows = [
+        ("c1", 0, 0, "B", "co_occurs_with", "A"),
+        ("c1", 1, 0, "A", "co_occurs_with", "B"),
+    ]
+    out = _edges(spark, rows).collect()
+    assert len(out) == 1
+    assert (out[0]["src"], out[0]["dst"], out[0]["stoichiometry"]) == ("A", "B", 2)
+
+
+def test_direction_flip_produced_by(spark):
+    # produced_by is stored reversed as produces (tool → mention) —
+    # ReactomeBatchImporter.java:675-686 analog.
+    rows = [("c1", 0, 0, "M", "produced_by", "tool:search")]
+    out = _edges(spark, rows).collect()
+    assert len(out) == 1
+    assert (out[0]["src"], out[0]["rel_type"], out[0]["dst"]) == (
+        "tool:search", "produces", "M",
+    )
+
+
+def test_self_loops_dropped(spark):
+    rows = [("c1", 0, 0, "A", "co_occurs_with", "A")]
+    assert _edges(spark, rows).count() == 0
+
+
+def test_qa_uniqueness_detects_dups(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    v = qa_uniqueness(df, ["k"]).collect()
+    assert len(v) == 1 and v[0]["k"] == 1 and v[0]["count"] == 2
+
+
+def test_qa_consistency_flags_mandatory_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("", "z")], "src string, dst string"
+    ).withColumn("rel_type", F.lit("t")) \
+     .withColumn("stoichiometry", F.lit(1)) \
+     .withColumn("order", F.lit(1))
+    rep = {r["Attribute"]: r["violations"] for r in qa_consistency(df, "edges").collect()}
+    assert rep["src"] == 2  # one null + one empty
+    assert "dst" not in rep
