@@ -1,0 +1,861 @@
+"""Driver-contract query registry (SURVEY.md §2 operator inventory).
+
+Each entry is one operator from the SURVEY §2 inventory (or a
+training-data-pipeline op), expressed twice with identical column names:
+
+  - a Spark DataFrame builder  (spark, sf_dir) -> DataFrame
+  - an equivalent DuckDB SQL string (None for non-SQL-expressible ops —
+    those get the driver's weaker rows-only check)
+
+Design rules for oracle parity:
+  - every computed column is aliased identically in both engines;
+  - money sums are emitted as integer cents (round → bigint) so
+    double-sum ordering noise can't break the value hash;
+  - timestamps in outputs are formatted to 'yyyy-MM-dd' strings;
+  - counts/ranks are cast to bigint in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =========================================================================
+# A. Aggregations (SURVEY §2.4) + windows (§2.5)
+# =========================================================================
+@_q(
+    "a1_stoichiometry_order",
+    """
+    WITH g AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(count(*) AS BIGINT) AS stoichiometry,
+             min(l_linenumber) AS first_ln
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_orderkey, l_partkey, stoichiometry,
+           CAST(row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY first_ln, l_partkey) AS BIGINT)
+             AS order_rank
+    FROM g
+    """,
+)
+def a1_stoichiometry_order(spark, sf_dir):
+    """A1+W1 (ReactomeBatchImporter.java:630-655): duplicate-target count
+    (stoichiometry) + first-appearance rank (order) per source."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("stoichiometry"),
+        F.min("l_linenumber").alias("first_ln"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("first_ln", "l_partkey")
+    return g.select(
+        "l_orderkey", "l_partkey", "stoichiometry",
+        F.row_number().over(w).cast("long").alias("order_rank"),
+    )
+
+
+@_q(
+    "a2_latest_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1
+    """,
+)
+def a2_latest_top1_per_group(spark, sf_dir):
+    """A2 (ReactomeBatchImporter.java:608-628): latest-modified top-1 per
+    source; losers discarded."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+@_q(
+    "a3_latest_release_max",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS release_date
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 1
+    """,
+)
+def a3_latest_release_max(spark, sf_dir):
+    """A3 (ReactomeBatchImporter.java:243-252): max-key instance fetch."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(1)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("release_date"),
+        )
+    )
+
+
+@_q(
+    "a4_consistency_report",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_dbids
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a4_consistency_report(spark, sf_dir):
+    """A4 (ReactomeBatchImporter.java:1167-1199): per-(class, attribute)
+    distinct-instance violation report aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_dbids")
+    )
+
+
+@_q(
+    "a5_checksum_sum",
+    """
+    SELECT CAST(sum((l_orderkey * 31 + l_linenumber) % 1000003) AS BIGINT)
+             AS checksum
+    FROM lineitem
+    """,
+)
+def a5_checksum_sum(spark, sf_dir):
+    """A5/S11 (ReactomeBatchImporter.java:1091-1122): summed per-table
+    content checksum recorded in the DBInfo/provenance node."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 1000003)
+        .cast("long")
+        .alias("checksum")
+    )
+
+
+@_q(
+    "w1_first_appearance_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def w1_first_appearance_rank(spark, sf_dir):
+    """W1 (ReactomeBatchImporter.java:635): first-appearance ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@_q(
+    "w3_ordered_list_agg",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber) AS lines_csv
+    FROM lineitem GROUP BY 1
+    """,
+)
+def w3_ordered_list_agg(spark, sf_dir):
+    """P2/W3 (ReactomeBatchImporter.java:531-546, 1013): multi-valued
+    attribute materialized as ordered list (emitted as CSV string)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("lines_csv")
+    )
+
+
+@_q(
+    "s5_class_counts",
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1",
+)
+def s5_class_counts(spark, sf_dir):
+    """S5 (ReactomeBatchImporter.java:107-111): per-class instance counts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# =========================================================================
+# B. Joins (SURVEY §2.3) / set ops & dedup (§2.6)
+# =========================================================================
+@_q(
+    "j1_endpoint_resolution",
+    """
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_edges
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j1_endpoint_resolution(spark, sf_dir):
+    """J1 (ReactomeBatchImporter.java:643-647): visited-map equi-joins
+    resolving edge endpoints through id dimensions."""
+    li, o, c = (_t(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+@_q(
+    "j4_target_semi_join",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_returnflag IN ('R', 'A'))
+    """,
+)
+def j4_target_semi_join(spark, sf_dir):
+    """J4 (InteractionImporter.java:364-401): keep targets referenced via
+    an allowed relationship set (left-semi over rel-type isin)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "A"))
+    return p.join(
+        li, p["p_partkey"] == li["l_partkey"], "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@_q(
+    "j5_orthologous_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000)
+    """,
+)
+def j5_orthologous_anti_join(spark, sf_dir):
+    """J5 (ReactomeBatchImporter.java:277-298): anti-join dropping rows
+    whose counterpart edge already exists."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "j6_coalesce_fallback",
+    """
+    SELECT o.o_orderkey,
+           CAST(coalesce(sum(l.l_quantity), 0) AS BIGINT) AS qty_total
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def j6_coalesce_fallback(spark, sf_dir):
+    """J6 (ReactomeBatchImporter.java:305-313): primary set with fallback
+    when empty (coalesce of joined sets)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("long").alias("qty_total"))
+    )
+
+
+@_q(
+    "d2_symmetric_edge_dedup",
+    """
+    SELECT DISTINCT least(l_suppkey, l_partkey) AS a,
+                    greatest(l_suppkey, l_partkey) AS b
+    FROM lineitem
+    """,
+)
+def d2_symmetric_edge_dedup(spark, sf_dir):
+    """D2 (ReactomeBatchImporter.java:661-674): symmetric pairs stored once
+    under canonical (least, greatest) direction."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.least("l_suppkey", "l_partkey").alias("a"),
+        F.greatest("l_suppkey", "l_partkey").alias("b"),
+    ).distinct()
+
+
+@_q(
+    "d6_union_of_roots",
+    """
+    SELECT DISTINCT * FROM (
+      SELECT c_custkey AS key, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier)
+    """,
+)
+def d6_union_of_roots(spark, sf_dir):
+    """D6 (ReactomeBatchImporter.java:145-149): union of the per-stage root
+    worklists."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s).distinct()
+
+
+@_q(
+    "d7_set_difference",
+    """
+    SELECT p_partkey FROM part
+    WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem
+                            WHERE l_quantity > 49)
+    """,
+)
+def d7_set_difference(spark, sf_dir):
+    """D7 (ReactomeBatchImporter.java:322-334): encapsulated = diagram set
+    minus contained set (exceptAll/left_anti)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return p.join(
+        li, p["p_partkey"] == li["l_partkey"], "left_anti"
+    ).select("p_partkey")
+
+
+# =========================================================================
+# C. Projections / scalar functions (SURVEY §2.2, §2.7)
+# =========================================================================
+@_q(
+    "p5_null_normalization",
+    """
+    SELECT event_id, nullif(trim(props), '') AS props_norm FROM events
+    """,
+)
+def p5_null_normalization(spark, sf_dir):
+    """P5 (ReactomeBatchImporter.java:1014-1016): empty → null collapse."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.nullif(F.trim("props"), F.lit("")).alias("props_norm")
+    )
+
+
+@_q(
+    "p7_class_name_override",
+    """
+    SELECT event_id,
+           CASE WHEN value > 50
+                THEN 'Hot' || regexp_replace(event_type, '^_', '')
+                ELSE regexp_replace(event_type, '^_', '') END AS klass
+    FROM events
+    """,
+)
+def p7_class_name_override(spark, sf_dir):
+    """P7 (ReactomeBatchImporter.java:815-828): `_X`→`X` strip + conditional
+    reclassification by a property value."""
+    e = _t(spark, sf_dir, "events")
+    cls = F.regexp_replace("event_type", "^_", "")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 50, F.concat(F.lit("Hot"), cls)).otherwise(cls)
+        .alias("klass"),
+    )
+
+
+@_q(
+    "p11_person_name_normalization",
+    """
+    SELECT c_custkey,
+           concat_ws(', ', c_name, coalesce(c_mktsegment, c_name))
+             AS display_name
+    FROM customer
+    """,
+)
+def p11_person_name_normalization(spark, sf_dir):
+    """P11 (ReactomeBatchImporter.java:391-401): surname, initial?:firstname."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(", ", F.col("c_name"), F.coalesce("c_mktsegment", "c_name"))
+        .alias("display_name"),
+    )
+
+
+@_q(
+    "p12_stable_id_projection",
+    """
+    SELECT c_custkey,
+           'R-CUS-' || CAST(c_custkey AS VARCHAR) AS stid,
+           'R-CUS-' || CAST(c_custkey AS VARCHAR) || '.'
+             || CAST(c_nationkey % 10 AS VARCHAR) AS stid_version
+    FROM customer
+    """,
+)
+def p12_stable_id_projection(spark, sf_dir):
+    """P12 (ReactomeBatchImporter.java:417-435): stId + stIdVersion mint."""
+    c = _t(spark, sf_dir, "customer")
+    stid = F.concat(F.lit("R-CUS-"), F.col("c_custkey").cast("string"))
+    return c.select(
+        "c_custkey",
+        stid.alias("stid"),
+        F.concat(stid, F.lit("."), (F.col("c_nationkey") % 10).cast("string"))
+        .alias("stid_version"),
+    )
+
+
+@_q(
+    "p21_trivial_flag",
+    """
+    SELECT p_partkey, p_size IN (1, 5, 10) AS trivial FROM part
+    """,
+)
+def p21_trivial_flag(spark, sf_dir):
+    """P21 (ReactomeBatchImporter.java:496-499): membership in a broadcast
+    allowlist → boolean flag."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", F.col("p_size").isin(1, 5, 10).alias("trivial"))
+
+
+@_q(
+    "p22_url_templating",
+    """
+    SELECT p_partkey,
+           replace('https://example.org/entry/###ID###', '###ID###',
+                   CAST(p_partkey AS VARCHAR)) AS url
+    FROM part
+    """,
+)
+def p22_url_templating(spark, sf_dir):
+    """P22 (ReactomeBatchImporter.java:500-523): accessUrl ###ID### fill."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(
+            F.lit("https://example.org/entry/###ID###"),
+            F.lit("###ID###"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url"),
+    )
+
+
+@_q(
+    "p23_curie_minting",
+    """
+    SELECT p_partkey,
+           coalesce(CASE WHEN p_size > 25 THEN NULL
+                         ELSE lower(replace(p_brand, '#', '.')) END,
+                    lower(regexp_replace(p_type, '[\\s:]', '.', 'g')))
+             || ':' || CAST(p_partkey AS VARCHAR) AS curie
+    FROM part
+    """,
+)
+def p23_curie_minting(spark, sf_dir):
+    """P23 (ReactomeBatchImporter.java:549-568 + DatabaseToPrefix.java):
+    CURIE prefix fallback chain ending in lower(replaceAll('[\\s:]','.'))."""
+    p = _t(spark, sf_dir, "part")
+    primary = F.when(F.col("p_size") > 25, F.lit(None)).otherwise(
+        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit(".")))
+    )
+    fallback = F.lower(F.regexp_replace("p_type", r"[\s:]", "."))
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.coalesce(primary, fallback), F.lit(":"), F.col("p_partkey").cast("string")
+        ).alias("curie"),
+    )
+
+
+@_q(
+    "p24_accession_normalization",
+    """
+    SELECT p_partkey, split_part(trim(p_name), ' ', 1) AS acc FROM part
+    """,
+)
+def p24_accession_normalization(spark, sf_dir):
+    """P24 (InteractionImporter.java:106,198-199): acc.trim().split(' ')[0]."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.element_at(F.split(F.trim(F.col("p_name")), " "), 1).alias("acc"),
+    )
+
+
+@_q(
+    "s9_json_enrichment",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props::JSON, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def s9_json_enrichment(spark, sf_dir):
+    """S9/TH (TaxonomyHelper.java:68-70): JSON response field extraction."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    )
+
+
+# =========================================================================
+# D. Headline analytic queries (bench workload)
+# =========================================================================
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+             AS sum_base_price_cents,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+                AS BIGINT) AS sum_disc_price_cents,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg (flagship perf query; money as cents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100, 0).cast("long")
+            .alias("sum_base_price_cents"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+            .cast("long").alias("sum_disc_price_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+                AS BIGINT) AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + agg (broadcast dims, shuffled fact)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+            .cast("long").alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "orderdate", "o_orderpriority")
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+# =========================================================================
+# E. Training-data pipeline ops (dedup / similarity / text analysis)
+# =========================================================================
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES_SQL = (
+    "CASE WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) ELSE [] END"
+)
+
+
+@_q(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: content-hash groupBy (one map-combined shuffle)."""
+    from kg.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w)
+    SELECT doc_id,
+      list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+      list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+      list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+      list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+    FROM s
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash: per-band min(md5(band|shingle)) signature, array-expr only."""
+    from kg.ops.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
+    sig AS (SELECT doc_id,
+      list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+      list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+      list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+      list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM s),
+    buckets AS (
+      SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
+      UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
+      UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band-bucket self-join."""
+    from kg.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS = ", ".join(
+    f"sum(CASE WHEN (instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) "
+    f"% 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+)
+
+
+@_q(
+    "dedup_simhash32",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM t),
+    b AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM b
+    """,
+)
+def dedup_simhash32(spark, sf_dir):
+    """SimHash: 32-bit parity fingerprint from token md5 hex digits."""
+    from kg.ops.dedup import simhash32
+
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH w AS (SELECT doc_id, lang, source, {_WORDS_SQL} AS words
+               FROM documents),
+    shl AS (SELECT doc_id, lang, source, {_SHINGLES_SQL} AS sh FROM w),
+    sh AS (SELECT DISTINCT doc_id, lang, source, unnest(sh) AS shingle
+           FROM shl),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+        AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz na ON common.doc_a = na.doc_id
+    JOIN sz nb ON common.doc_b = nb.doc_id
+    WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, blocked on (lang, source)."""
+    from kg.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    s AS (SELECT probe_id, e.vec_id AS neighbor_id,
+            round(list_dot_product(pv, v)
+              / (sqrt(list_dot_product(pv, pv))
+                 * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+          FROM e, p WHERE e.vec_id <> probe_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s)
+    SELECT probe_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_sim
+    FROM r WHERE rk <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact baseline for similarity search)."""
+    from kg.ops.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 10^9-vector scale path);
+    rows-only: the deterministic hyperplanes are host-side constants."""
+    from kg.ops.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10)
+
+
+_REGISTRY["ann_lsh_topk"] = (_ann_lsh_topk, None)
+
+_LANG_SCORE_SQL = {
+    "en": "len(regexp_extract_all(lower(text), '\\bthe\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\ba\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\bof\\b'))",
+    "de": "len(regexp_extract_all(lower(text), '\\bdata\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\btable\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\brow\\b'))",
+    "es": "len(regexp_extract_all(lower(text), '\\bspark\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\bquery\\b')) + "
+          "len(regexp_extract_all(lower(text), '\\bjoin\\b'))",
+}
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+      CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted_lang
+    FROM (SELECT doc_id, {_LANG_SCORE_SQL['en']} AS s_en,
+                 {_LANG_SCORE_SQL['de']} AS s_de,
+                 {_LANG_SCORE_SQL['es']} AS s_es
+          FROM documents)
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-word hit argmax."""
+    from kg.ops.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+           AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """BPE-ish regex token counting."""
+    from kg.ops.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality_score",
+    f"""
+    SELECT doc_id, n_tokens, n_uniq_tokens, len_chars,
+      CAST(CASE WHEN n_tokens < 10 THEN 0
+                WHEN n_uniq_tokens * 2 < n_tokens THEN 1
+                WHEN len_chars < 200 THEN 2 ELSE 3 END AS BIGINT) AS quality
+    FROM (SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_tokens,
+            CAST(length(text) AS BIGINT) AS len_chars
+          FROM (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents))
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality features + 0-3 bucket (length / diversity gates)."""
+    from kg.ops.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_doc_fingerprint",
+    """
+    SELECT doc_id,
+      md5(substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64))
+        AS fingerprint
+    FROM documents
+    """,
+)
+def text_doc_fingerprint(spark, sf_dir):
+    """Prefix fingerprint of normalized text (boilerplate detector)."""
+    from kg.ops.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _mm_decode_stub(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction with a stubbed decoder; rows-only (pandas-UDF op)."""
+    from kg.ops.multimodal import decode_features, with_binary_payload
+
+    return decode_features(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+_REGISTRY["mm_decode_features"] = (_mm_decode_stub, None)

@@ -1,0 +1,142 @@
+"""Training-data ops unit tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kg.ops.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash32,
+)
+from kg.ops.multimodal import decode_features, with_binary_payload
+from kg.ops.similarity import brute_force_topk, lsh_topk
+from kg.ops.text import quality_score, token_count
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "same text here", "en", "s1", 14),
+            (5, "same text here", "en", "s2", 14),
+            (3, "different text", "en", "s1", 14),
+        ],
+    )
+    groups = {r["keeper_doc_id"]: r["n_dups"] for r in exact_dedup_groups(d).collect()}
+    assert groups == {1: 2, 3: 1}
+    kept = {r["doc_id"] for r in exact_dedup(d).collect()}
+    assert kept == {1, 3}
+
+
+def test_md5_matches_hashlib(spark):
+    d = _docs(spark, [(1, "hello world", "en", "s", 11)])
+    h = exact_dedup_groups(d).collect()[0]["content_hash"]
+    assert h == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_shingles_short_text_empty(spark):
+    d = _docs(spark, [(1, "two words", "en", "s", 9)])
+    sh = d.select(shingles(F.col("text")).alias("s")).collect()[0]["s"]
+    assert sh == []
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # 9/10 words shared
+    far = "one two three four five six seven eight nine ten"
+    d = _docs(
+        spark,
+        [(1, base, "en", "s", 1), (2, near, "en", "s", 1), (3, far, "en", "s", 1)],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(d).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}; jaccard = 1/3
+    d = _docs(
+        spark,
+        [(1, "a b c d", "en", "s", 1), (2, "a b c e", "en", "s", 1)],
+    )
+    rows = ngram_jaccard_pairs(d, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-6  # jaccard is rounded to 6dp
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    d = _docs(
+        spark,
+        [(1, "spark rows and columns", "en", "s", 1),
+         (2, "spark rows and columns", "en", "s", 1),
+         (3, "utterly different words entirely", "en", "s", 1)],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash32(d).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert 0 <= fp[1] < 2**32
+
+
+def test_brute_force_topk_orthonormal(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),  # closest to 0
+        (2, [0.0, 1.0, 0.0], 0),  # orthogonal
+        (3, [-1.0, 0.0, 0.0], 0),  # opposite
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = brute_force_topk(e, probe_ids=[0], k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in got}
+    assert abs(sims[3] - (-1.0)) < 1e-6 and abs(sims[2]) < 1e-6
+
+
+def test_lsh_topk_subset_of_brute_force_candidates(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(64).astype("float32").tolist(), 0) for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(e, [0, 1], k=80).collect()
+    }
+    approx = lsh_topk(e, [0, 1], k=10)
+    # every approx result must carry the exact cosine (same scoring path)
+    for r in approx.collect():
+        assert (r["probe_id"], r["neighbor_id"], r["cos_sim"]) in exact
+
+
+def test_quality_and_token_count(spark):
+    d = _docs(spark, [(1, "short", "en", "s", 5),
+                      (2, "w1 w2, w3-w4 " + "x " * 20, "en", "s", 1)])
+    q = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
+    assert q[1] == 0  # < 10 tokens
+    assert q[2] == 1  # repetitious (x * 20): uniq*2 < total
+    t = {r["doc_id"]: r["n_tokens"] for r in token_count(d).collect()}
+    assert t[1] == 1
+    # "w1 w2, w3-w4" → w1, w2, ',', w3, '-', w4 (6) + 20 x's
+    assert t[2] == 26
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    d = _docs(spark, [(1, "hello", "en", "s", 5), (2, "world!", "en", "s", 6)])
+    out1 = decode_features(with_binary_payload(d)).orderBy("doc_id").collect()
+    out2 = decode_features(with_binary_payload(d)).orderBy("doc_id").collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert out1[0]["n_bytes"] == 5
+    assert out1[0]["fake_width"] == 6 and out1[0]["fake_height"] == 6  # 5%640+1
