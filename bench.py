@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline workload on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+- the four-stage KG pipeline over a deterministic synthetic transcript
+  corpus sized to the SF (headline metric: triples/sec), and
+- representative operator queries from the contract registry, each
+  forced end-to-end with the noop datasource (full compute, no collect).
+
+Flags: --kg-only (skip operator queries), --convs N (override corpus
+size), --json-out PATH (also write the JSON line to a file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "a1_stoichiometry_order",
+    "a2_latest_top1_per_group",
+    "d2_symmetric_edge_dedup",
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "dedup_simhash32",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+SF_TO_CONVS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+
+
+def _force(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def bench_kg_pipeline(spark, n_convs: int) -> dict:
+    """End-to-end pipeline wall time + triples/sec.
+
+    The timed action is a single aggregate over the final edge table —
+    it forces extraction, linking, CC, and materialization; emitted
+    triples = Σ stoichiometry (canonical triple occurrences).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kg.pipeline import run_pipeline
+    from kg.schema import ALIAS_PAIRS_SCHEMA, CATALOG_SCHEMA, TRANSCRIPTS_SCHEMA
+    from kg.synth import write_fixtures
+
+    fdir = os.path.join("/tmp", f"kg_bench_fixtures_{n_convs}")
+    if not os.path.exists(os.path.join(fdir, "transcripts.parquet")):
+        write_fixtures(fdir, n_convs=n_convs, n_entities=500)
+    tr = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(
+        os.path.join(fdir, "transcripts.parquet")
+    )
+    cat = spark.read.schema(CATALOG_SCHEMA).parquet(
+        os.path.join(fdir, "entity_catalog.parquet")
+    )
+    ap = spark.read.schema(ALIAS_PAIRS_SCHEMA).parquet(
+        os.path.join(fdir, "alias_pairs.parquet")
+    )
+    n_turns = tr.count()
+
+    t0 = time.monotonic()
+    res = run_pipeline(spark, tr, cat, ap)
+    row = res["edges"].agg(
+        F.sum("stoichiometry").alias("triples"),
+        F.count(F.lit(1)).alias("edges"),
+    ).collect()[0]
+    elapsed = time.monotonic() - t0
+    triples = int(row["triples"] or 0)
+    return {
+        "n_convs": n_convs,
+        "n_turns": int(n_turns),
+        "triples": triples,
+        "edges": int(row["edges"]),
+        "wall_sec": round(elapsed, 3),
+        "triples_per_sec": round(triples / elapsed, 1) if elapsed > 0 else 0.0,
+        "turns_per_sec": round(n_turns / elapsed, 1) if elapsed > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--convs", type=int, default=None)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_label.removeprefix("sf")) if sf_label.startswith("sf") else None
+
+    from kg.session import get_spark
+
+    spark = get_spark("bench", parallelism=cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    n_convs = args.convs or SF_TO_CONVS.get(sf_label, 3000)
+    kg = bench_kg_pipeline(spark, n_convs)
+
+    queries: dict[str, float] = {"kg_pipeline": kg["wall_sec"]}
+    if not args.kg_only:
+        import __spark_entry__ as em
+
+        qs = em.queries()
+        for name in HEADLINE_QUERIES:
+            queries[name] = round(_force(qs[name](spark, sf_dir)), 3)
+
+    out = {
+        "metric": "kg_pipeline_triples_per_sec",
+        "value": kg["triples_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "kg": kg,
+        "total_sec": round(sum(queries.values()), 3),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: one collect + path-halving union-find.
+    Root is kept at the lexicographic min, matching the distributed
+    algorithm's canonical_id exactly."""
+    spark = edges.sparkSession
+    pairs = edges.select("src", "dst").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node string, canonical_id string")
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Undirect + drop self-loops + dedup."""
     e = edges.select("src", "dst")
@@ -78,14 +102,28 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, small_graph_threshold: int = 100_000
+) -> DataFrame:
     """edges(src, dst) → mapping(node, canonical_id = min of component).
 
     Every node that appears in ``edges`` gets a row; isolated nodes (not in
     any edge) are implicitly their own canonical_id (handled by the
     coalesce in apply_canonical_map).
+
+    Two physical strategies behind one semantic:
+    - alias graphs under small_graph_threshold edges run union-find on
+      the driver (one collect) — the distributed fixpoint costs ~1s of
+      shuffle/launch latency PER ITERATION, pure overhead on small dims;
+    - larger graphs run the large-star/small-star fixpoint, O(log n)
+      rounds, checkpointed per iteration.
+    Both produce canonical_id = lexicographic min of the component, so
+    results are identical (asserted in tests/test_canonicalize.py).
     """
     spark = edges.sparkSession
+    approx_edges = edges.limit(small_graph_threshold + 1).count()
+    if approx_edges <= small_graph_threshold:
+        return _driver_union_find(edges)
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -99,7 +99,10 @@ def link_triples(raw_triples: DataFrame, catalog: DataFrame) -> DataFrame:
         raw_triples.select(F.col("subj_surface").alias("surface"))
         .unionByName(raw_triples.select(F.col("obj_surface").alias("surface")))
     )
-    smap = link_surfaces(surf, catalog).select("surface", "entity_id")
+    # persist: the map feeds TWO broadcast exchanges (subj + obj) whose
+    # plans differ by rename, so ReuseExchange can't kick in — without the
+    # persist the vocabulary distinct over the full triple stream runs twice.
+    smap = link_surfaces(surf, catalog).select("surface", "entity_id").persist()
     return (
         raw_triples.join(
             F.broadcast(smap.withColumnRenamed("surface", "subj_surface")

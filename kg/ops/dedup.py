@@ -32,10 +32,14 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Word k-shingles as an array column (1-based element_at, mirroring
-    DuckDB 1-based list indexing so the oracle SQL is a transliteration)."""
-    w = words(text)
+def shingles_of(w: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles from a WORDS COLUMN (1-based element_at, mirroring
+    DuckDB 1-based list indexing so the oracle SQL is a transliteration).
+
+    Takes a materialized column, not the raw text: Catalyst does NOT
+    common-subexpression-eliminate inside higher-order functions, so
+    inlining words(text) here would re-split the text once per shingle
+    element — O(len²) per row (observed 75s vs <1s at sf0.1)."""
     return F.when(
         F.size(w) >= k,
         F.transform(
@@ -45,6 +49,28 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Convenience wrapper for tests/small inputs — see shingles_of for
+    the hot-path version that avoids re-splitting per element."""
+    return shingles_of(words(text), k)
+
+
+def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """docs + materialized `sh` column, fanned out across cores.
+
+    The explicit repartition matters locally AND at scale: a handful of
+    big parquet files under-parallelizes payload-heavy array work, and
+    the shingle/minhash map is CPU-bound — fan out to the full
+    parallelism before it, not after."""
+    spark = docs.sparkSession
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", words(F.col("text")))
+        .withColumn("sh", shingles_of(F.col("w"), k))
+        .drop("w")
+    )
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -73,19 +99,20 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     Computed with array expressions only — no explode, so signature cost
     is O(shingles) per row with zero shuffle.
     """
-    sh = shingles(F.col("text"))
-
     def _band_min(b: int) -> Column:
         # NB: the transform lambda must take exactly ONE parameter — a
         # two-arg lambda would receive the array index as its second arg.
         prefix = f"{b}|"
         return F.array_min(
             F.transform(
-                sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+                F.col("sh"),
+                lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")),
             )
         ).alias(f"mh{b}")
 
-    return docs.select("doc_id", *[_band_min(b) for b in range(n_bands)])
+    return with_shingles(docs).select(
+        "doc_id", *[_band_min(b) for b in range(n_bands)]
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -128,9 +155,12 @@ def simhash32(docs: DataFrame) -> DataFrame:
     fingerprint sets bit j iff Σ_tokens (±1) > 0.  One explode + one
     map-combined groupBy; the 32 sums ride a single aggregation.
     """
-    toks = docs.select(
-        "doc_id", F.explode(words(F.col("text"))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    spark = docs.sparkSession
+    toks = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+    )
     digit = lambda j: (  # noqa: E731
         F.instr(F.lit("0123456789abcdef"), F.substring("h", j + 1, 1)) - 1
     )
@@ -158,9 +188,11 @@ def ngram_jaccard_pairs(
     count |∩|, derive |∪| = na + nb − |∩|.  Blocking bounds the pair
     count; at scale swap block_cols for an LSH band key.
     """
-    sh = docs.select(
-        "doc_id", *block_cols, F.explode(shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    sh = (
+        with_shingles(docs)
+        .select("doc_id", *block_cols, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

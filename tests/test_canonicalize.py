@@ -1,40 +1,57 @@
 """Stage-3 CC unit tests (SURVEY.md §5: CC on known graphs — chain, star,
-two components, symmetric duplicate, self-loop)."""
+two components, symmetric duplicate, self-loop).
+
+Every fixture runs through BOTH physical strategies — the driver
+union-find fast path (small_graph_threshold default) and the distributed
+large-star/small-star fixpoint (threshold=0) — and must agree.
+"""
 
 from __future__ import annotations
+
+import pytest
 
 from kg.canonicalize import connected_components
 from kg.oracle import oracle_components
 
+STRATEGIES = {"driver": 100_000, "distributed": 0}
 
-def _cc(spark, pairs):
+
+def _cc(spark, pairs, threshold):
     df = spark.createDataFrame([(a, b, "sameAs") for a, b in pairs],
                                "src string, dst string, kind string")
-    return {r["node"]: r["canonical_id"] for r in connected_components(df).collect()}
+    return {
+        r["node"]: r["canonical_id"]
+        for r in connected_components(df, small_graph_threshold=threshold).collect()
+    }
 
 
-def test_chain(spark):
-    m = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+@pytest.fixture(params=sorted(STRATEGIES), scope="module")
+def threshold(request):
+    return STRATEGIES[request.param]
+
+
+def test_chain(spark, threshold):
+    m = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], threshold)
     assert m == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
-def test_star(spark):
-    m = _cc(spark, [("k", "a"), ("k", "b"), ("k", "c")])
+def test_star(spark, threshold):
+    m = _cc(spark, [("k", "a"), ("k", "b"), ("k", "c")], threshold)
     assert m == {"k": "a", "a": "a", "b": "a", "c": "a"}
 
 
-def test_two_components(spark):
-    m = _cc(spark, [("a", "b"), ("x", "y")])
+def test_two_components(spark, threshold):
+    m = _cc(spark, [("a", "b"), ("x", "y")], threshold)
     assert m == {"a": "a", "b": "a", "x": "x", "y": "x"}
 
 
-def test_symmetric_duplicate_pair(spark):
-    m = _cc(spark, [("a", "b"), ("b", "a")])
+def test_symmetric_duplicate_pair(spark, threshold):
+    m = _cc(spark, [("a", "b"), ("b", "a")], threshold)
     assert m == {"a": "a", "b": "a"}
 
 
-def test_self_loop_only(spark):
-    m = _cc(spark, [("z", "z")])
+def test_self_loop_only(spark, threshold):
+    m = _cc(spark, [("z", "z")], threshold)
     assert m == {"z": "z"}
 
 
@@ -42,11 +59,17 @@ def test_long_path_converges_logarithmically(spark):
     # path of 40 nodes: min-label propagation would need ~40 rounds;
     # large-star/small-star must do it within the 25-iteration cap.
     nodes = [f"n{i:03d}" for i in range(40)]
-    m = _cc(spark, list(zip(nodes, nodes[1:])))
+    m = _cc(spark, list(zip(nodes, nodes[1:])), threshold=0)
     assert set(m.values()) == {"n000"}
 
 
 def test_matches_oracle_on_synthetic(spark, alias_pairs_df, alias_pairs_pdf):
-    got = {r["node"]: r["canonical_id"]
-           for r in connected_components(alias_pairs_df).collect()}
-    assert got == oracle_components(alias_pairs_pdf)
+    expected = oracle_components(alias_pairs_pdf)
+    for threshold in STRATEGIES.values():
+        got = {
+            r["node"]: r["canonical_id"]
+            for r in connected_components(
+                alias_pairs_df, small_graph_threshold=threshold
+            ).collect()
+        }
+        assert got == expected
