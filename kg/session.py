@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
+        # scan parallelism: local corpora arrive as a handful of big parquet
+        # files; the 128 MB default yields 2-3 scan tasks and serializes the
+        # scan → shuffle-write side of the first exchange.  32 MB keeps all
+        # cores busy; at cluster scale inputs are many files and this only
+        # affects the per-task footprint.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
