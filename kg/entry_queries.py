@@ -859,3 +859,30 @@ def _mm_decode_stub(spark, sf_dir):
 
 
 _REGISTRY["mm_decode_features"] = (_mm_decode_stub, None)
+
+
+@_q(
+    "p8_label_derivation",
+    """
+    SELECT c_custkey,
+           concat_ws('|', n.n_name, r.r_name, 'Entity') AS labels_path
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def p8_label_derivation(spark, sf_dir):
+    """P8 (ReactomeBatchImporter.java:836-868): class → full ancestry label
+    array via broadcast dimension joins (emitted as a joined path string)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "c_custkey",
+            F.concat_ws("|", F.col("n_name"), F.col("r_name"), F.lit("Entity"))
+            .alias("labels_path"),
+        )
+    )

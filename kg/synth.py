@@ -178,6 +178,43 @@ def synth_transcripts(
     return pdf
 
 
+def write_transcripts_chunked(
+    out_path: str,
+    catalog: pd.DataFrame,
+    n_convs: int,
+    seed: int = SEED,
+    unknown_rate: float = 0.08,
+    chunk_convs: int = 250_000,
+) -> None:
+    """Stream-generate a large transcript corpus into ONE parquet file via
+    row-group appends — peak memory is one chunk, not the corpus.  Chunk
+    seeds derive deterministically from (seed, chunk index), and conv_ids
+    are globally unique via an offset, so output is reproducible."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    writer = None
+    try:
+        for ci, start in enumerate(range(0, n_convs, chunk_convs)):
+            n = min(chunk_convs, n_convs - start)
+            pdf = synth_transcripts(catalog, n, seed=seed + 1000 * ci, unknown_rate=unknown_rate)
+            pdf["conv_id"] = pdf["conv_id"].map(
+                lambda c, off=start: f"conv-{int(c[5:]) + off:08d}"
+            )
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            table = table.set_column(
+                table.schema.get_field_index("ts"),
+                "ts",
+                table.column("ts").cast(pa.timestamp("us")),
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, table.schema)
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def write_fixtures(
     out_dir: str,
     n_convs: int = 200,
