@@ -886,3 +886,57 @@ def p8_label_derivation(spark, sf_dir):
             .alias("labels_path"),
         )
     )
+
+
+@_q(
+    "w4_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    s AS (SELECT user_id, event_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM g)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def w4_sessionization(spark, sf_dir):
+    """Sessionization (guide 'Common OLAP patterns'): lag(ts) gap > 30min
+    opens a session; cumulative sum numbers sessions per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = e.withColumn("new_session", new_s).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+@_q(
+    "skew_salted_count",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS count
+    FROM events GROUP BY 1
+    """,
+)
+def skew_salted_count(spark, sf_dir):
+    """Explicit skew path (north_rule): two-phase salted aggregation over
+    a low-cardinality (therefore hot) key — result must equal the plain
+    groupBy (kg/skew.py; hot-key detection via frequency sketch)."""
+    from kg.skew import salted_aggregate_counts
+
+    e = _t(spark, sf_dir, "events")
+    return salted_aggregate_counts(e, "event_type", min_share=0.01, n_salts=8)

@@ -106,3 +106,75 @@ def run_incremental(
 
 
 __all__ = ["transcript_stream", "windowed_mention_counts", "run_incremental"]
+
+
+# ---------------------------------------------------------------------------
+# Stateful incremental extraction (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+def stateful_extract(stream: DataFrame) -> DataFrame:
+    """Per-conversation stateful triple extraction over a live stream.
+
+    Unlike run_incremental (which re-groups per micro-batch and relies on
+    whole conversations arriving within one file), this keeps the
+    cross-turn chain (rule R2) alive ACROSS micro-batches: the state per
+    conv_id is the last mention seen (turn_idx, span, surface), so a
+    conversation whose turns arrive over many triggers still emits the
+    same triples as the batch extractor.
+
+    Assumes turns of one conversation arrive in turn_idx order across
+    triggers (append-only ordered feed — the transcript-log case); within
+    a trigger they are sorted explicitly.
+    """
+    import pandas as pd
+
+    from kg.extract import (
+        PRED_CO_OCCURS,
+        PRED_FOLLOWED_BY,
+        PRED_PRODUCED_BY,
+        TOOL_SURFACE_PREFIX,
+        _turn_mentions,
+    )
+
+    state_schema = "turn_idx int, span int, surface string"
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        prev_last = tuple(state.get) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                ms = _turn_mentions(row.text)
+                for (s1, m1), (_s2, m2) in zip(ms, ms[1:]):
+                    out.append((conv_id, int(row.turn_idx), int(s1), m1,
+                                PRED_CO_OCCURS, m2))
+                if prev_last is not None and ms:
+                    pt, ps, psurf = prev_last
+                    out.append((conv_id, int(pt), int(ps), psurf,
+                                PRED_FOLLOWED_BY, ms[0][1]))
+                if row.role == "tool" and row.tool:
+                    for s, m in ms:
+                        out.append((conv_id, int(row.turn_idx), int(s), m,
+                                    PRED_PRODUCED_BY, TOOL_SURFACE_PREFIX + row.tool))
+                if ms:
+                    prev_last = (int(row.turn_idx), int(ms[-1][0]), ms[-1][1])
+        if prev_last is not None:
+            state.update(prev_last)
+        yield pd.DataFrame(
+            out,
+            columns=["conv_id", "turn_idx", "span_start",
+                     "subj_surface", "pred", "obj_surface"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kg.schema import RAW_TRIPLES_SCHEMA
+
+    return (
+        stream.select("conv_id", "turn_idx", "role", "text", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, RAW_TRIPLES_SCHEMA, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -77,3 +77,48 @@ def test_windowed_mention_counts_memory_sink(spark, transcripts_pdf, tmp_path):
         if m.strip()
     )
     assert out == exp
+
+
+def test_stateful_extract_spans_microbatches(spark, tmp_path):
+    """A conversation split ACROSS micro-batches must still chain R2
+    (followed_by) through the kept state — batch-equivalent output."""
+    import datetime as dt
+    import pandas as pd
+
+    from kg.extract import extract_conversation
+    from kg.streaming import stateful_extract, transcript_stream
+
+    rows = [
+        ("c1", 0, "user", "Start with [[Alpha]].", None),
+        ("c1", 1, "assistant", "Then [[Beta]] and [[Gamma]].", None),
+        ("c1", 2, "tool", "found [[Delta]]", "search"),
+        ("c1", 3, "user", "Finally [[Alpha]] again.", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["ts"] = dt.datetime(2025, 1, 1)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["tool"] = pdf["tool"].astype("string")  # all-null slices stay string-typed
+    feed = str(tmp_path / "sfeed")
+    os.makedirs(feed, exist_ok=True)
+    # one file per turn + maxFilesPerTrigger=1-ish (4 files, default trigger
+    # reads up to 4 per trigger; force separation with availableNow + 1 file)
+    for i in range(4):
+        pdf.iloc[[i]].to_parquet(os.path.join(feed, f"f{i}.parquet"), index=False,
+                                 coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    stream = (spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(feed))
+    q = (stateful_extract(stream).writeStream.outputMode("append")
+         .format("memory").queryName("stateful_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, span_start, subj_surface, pred, obj_surface "
+        "FROM stateful_out").toPandas()
+    exp = extract_conversation(pdf[["conv_id", "turn_idx", "role", "text", "tool"]])
+    key = list(exp.columns)
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+           sorted(map(tuple, exp[key].values.tolist()))
+    assert ("Delta", "followed_by", "Alpha") in set(
+        zip(got.subj_surface, got.pred, got.obj_surface))
