@@ -28,11 +28,16 @@ HEADLINE_QUERIES = [
     "q3_shipping_priority",
     "a1_stoichiometry_order",
     "a2_latest_top1_per_group",
+    "w4_sessionization",
     "d2_symmetric_edge_dedup",
+    "j1_endpoint_resolution",
+    "skew_salted_count",
     "dedup_exact_groups",
     "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
     "dedup_simhash32",
     "text_quality_score",
+    "text_token_count",
     "ann_cosine_topk",
 ]
 

@@ -940,3 +940,66 @@ def skew_salted_count(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return salted_aggregate_counts(e, "event_type", min_share=0.01, n_salts=8)
+
+
+@_q(
+    "p18_existence_flags",
+    """
+    SELECT c.c_custkey,
+           c.c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_orderstatus = 'F') AS is_in_disease,
+           c.c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT') AS is_inferred
+    FROM customer c
+    """,
+)
+def p18_existence_flags(spark, sf_dir):
+    """P18 (ReactomeBatchImporter.java:475-482): existence booleans from
+    related-row presence (left-semi-join flags)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    u_keys = (
+        o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    )
+    return (
+        c.join(
+            f_keys.withColumn("is_in_disease", F.lit(True)),
+            c["c_custkey"] == f_keys["o_custkey"], "left",
+        ).drop("o_custkey")
+        .join(
+            u_keys.withColumn("is_inferred", F.lit(True)),
+            c["c_custkey"] == u_keys["o_custkey"], "left",
+        ).drop("o_custkey")
+        .select(
+            "c_custkey",
+            F.coalesce("is_in_disease", F.lit(False)).alias("is_in_disease"),
+            F.coalesce("is_inferred", F.lit(False)).alias("is_inferred"),
+        )
+    )
+
+
+@_q(
+    "p20_first_element",
+    """
+    SELECT l_orderkey,
+           (string_agg(CAST(l_partkey AS VARCHAR), ','
+                       ORDER BY l_linenumber, l_partkey)) AS all_parts,
+           CAST((array_agg(l_partkey ORDER BY l_linenumber, l_partkey))[1]
+                AS BIGINT) AS species_first
+    FROM lineitem GROUP BY 1
+    """,
+)
+def p20_first_element(spark, sf_dir):
+    """P20 (ReactomeBatchImporter.java:488-495): first element of an
+    ordered multi-valued attribute (element_at(list, 1))."""
+    li = _t(spark, sf_dir, "lineitem")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["l_partkey"].cast("string")), ","
+        ).alias("all_parts"),
+        F.element_at(ordered, 1)["l_partkey"].cast("long").alias("species_first"),
+    )
