@@ -127,7 +127,13 @@ def main() -> None:
 
     from kg.session import get_spark
 
-    spark = get_spark("bench", parallelism=cpus)
+    extra = {}
+    if cpus >= (os.cpu_count() or cpus):
+        # saturated local box: each UDF task keeps a python worker AND a
+        # JVM Arrow feeder runnable — cores/2 UDF partitions avoids the
+        # 2× oversubscription (PLANS.md; measured 23s → 18.6s at 2M convs)
+        extra["spark.kg.extract.partitions"] = str(max(2, cpus // 2))
+    spark = get_spark("bench", parallelism=cpus, extra_conf=extra)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # Python-worker warmup: fork + pandas import on every core happens once
     # per executor lifetime in production; pay it before the timer, not in

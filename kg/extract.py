@@ -129,7 +129,13 @@ def extract_triples(transcripts: DataFrame, num_partitions: int | None = None) -
     a split conversation is stitched exactly).
     """
     spark = transcripts.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    if num_partitions is None:
+        # tunable: each UDF task keeps ~2 threads runnable (python worker +
+        # JVM Arrow feeder); on a shared local box, cores/2 partitions can
+        # beat cores (see PLANS.md).  Default stays defaultParallelism.
+        conf = spark.conf.get("spark.kg.extract.partitions", None)
+        num_partitions = int(conf) if conf else spark.sparkContext.defaultParallelism
+    n = num_partitions
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
     return (
         transcripts.select(*cols)  # column pruning before the shuffle
