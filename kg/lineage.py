@@ -59,6 +59,7 @@ def write_stage(
     out_dir: str,
     stage: str,
     input_snapshot: str,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Materialize one stage atomically (overwrite) + manifest.
 
@@ -66,9 +67,16 @@ def write_stage(
     deployment this is an Iceberg ``createOrReplace`` snapshot commit —
     the safe version of the reference's constraints-deferred BatchInserter
     shutdown (README.md:7 of the reference).
+
+    cluster_by hash-repartitions on the given keys before writing
+    (SURVEY.md §4: explicit repartition on canonical_id before the Stage-4
+    write) so downstream readers joining/grouping on those keys scan
+    co-located files.
     """
     path = os.path.join(out_dir, stage)
     t0 = time.monotonic()
+    if cluster_by:
+        df = df.repartition(*cluster_by)
     df.write.mode("overwrite").parquet(path)
     elapsed = time.monotonic() - t0
     spark = df.sparkSession

@@ -125,3 +125,33 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): embedding-cosine near-duplicate pairs.
+
+    The dedup flavor of similarity search: pairs above a cosine threshold
+    are duplicate candidates.  Blocked on a coarse-quantization column
+    (here the given label; at scale an IVF/LSH bucket from lsh_bucket) so
+    the self-join is per-block, not corpus².
+    """
+    e = embeddings.select(
+        "vec_id", F.col(block_col).alias("_blk"), as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

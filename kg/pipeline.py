@@ -49,6 +49,8 @@ def run_pipeline(
     parquet writes instead.
     """
     raw = extract_triples(transcripts).persist()
+    raw.count()  # eager fill: see link_triples — concurrent broadcast
+    # threads would otherwise recompute the extraction UDF per exchange
     linked = link_triples(raw, catalog)
     mapping = connected_components(alias_pairs)  # has its own actions (fixpoint)
     canonical = apply_canonical_map(linked, mapping).persist()
@@ -97,12 +99,17 @@ def run_pipeline_materialized(
     )
     manifests: dict[str, dict] = {}
 
+    # stage-4 tables cluster on their join keys (SURVEY.md §4)
+    cluster_keys = {"nodes": ["canonical_id"], "edges": ["src"]}
+
     def _stage(name: str, build) -> DataFrame:
         if resume and stage_is_complete(out_dir, name, snap):
             manifests[name] = {"stage": name, "resumed": True}
             return read_stage(spark, out_dir, name)
         df = build()
-        manifests[name] = write_stage(df, out_dir, name, snap)
+        manifests[name] = write_stage(
+            df, out_dir, name, snap, cluster_by=cluster_keys.get(name)
+        )
         return read_stage(spark, out_dir, name)
 
     raw = _stage("raw_triples", lambda: extract_triples(transcripts))
