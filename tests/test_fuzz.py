@@ -40,7 +40,7 @@ def conversation(draw):
     return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(conversation(), st.randoms())
 def test_extractor_matches_oracle(pdf, rnd):
     # shuffle rows: extraction must be order-stable under (conv_id, turn_idx)
