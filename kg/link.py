@@ -99,10 +99,15 @@ def link_triples(raw_triples: DataFrame, catalog: DataFrame) -> DataFrame:
         raw_triples.select(F.col("subj_surface").alias("surface"))
         .unionByName(raw_triples.select(F.col("obj_surface").alias("surface")))
     )
-    # persist: the map feeds TWO broadcast exchanges (subj + obj) whose
-    # plans differ by rename, so ReuseExchange can't kick in — without the
-    # persist the vocabulary distinct over the full triple stream runs twice.
+    # persist + EAGER fill: the map feeds TWO broadcast exchanges (subj +
+    # obj) whose plans differ by rename, so ReuseExchange can't kick in;
+    # worse, broadcast exchanges materialize on CONCURRENT driver threads,
+    # so a lazy persist lets both race and compute the vocabulary distinct
+    # (and the upstream extraction UDF) simultaneously — observed as 3×
+    # duplicated extraction stages in the event log.  One count() forces a
+    # single computation; both broadcasts then read the cache.
     smap = link_surfaces(surf, catalog).select("surface", "entity_id").persist()
+    smap.count()
     return (
         raw_triples.join(
             F.broadcast(smap.withColumnRenamed("surface", "subj_surface")
