@@ -36,9 +36,15 @@ def _fixture_paths(n_convs: int = 150, n_entities: int = 300) -> dict[str, str]:
         out = os.path.join(
             tempfile.gettempdir(), f"kg_fixtures_{key}"
         )
-        marker = os.path.join(out, "transcripts.parquet")
+        # completeness sentinel written AFTER all three files: a crash
+        # mid-generation can't leave a half-written cache that later runs
+        # would trust (transcripts.parquet is written first, so it alone
+        # is not a safe marker).
+        marker = os.path.join(out, "_FIXTURES_OK")
         if not os.path.exists(marker):
             write_fixtures(out, n_convs=n_convs, n_entities=n_entities)
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
         _FIXTURE_CACHE[key] = {
             "transcripts": os.path.join(out, "transcripts.parquet"),
             "entity_catalog": os.path.join(out, "entity_catalog.parquet"),
@@ -55,13 +61,25 @@ def _load_fixtures(spark: SparkSession, n_convs: int = 150):
     return tr, cat, ap
 
 
+_PIPELINE_CACHE: dict[tuple[int, int], dict] = {}
+
+
+def _pipeline_result(spark: SparkSession, n_convs: int = 150) -> dict:
+    """One pipeline run shared by every kg_* contract entry: kg_edges and
+    kg_nodes would otherwise each re-run extract/link/CC and re-persist
+    the same intermediates ('Asked to cache already cached data')."""
+    key = (id(spark), n_convs)
+    if key not in _PIPELINE_CACHE:
+        from kg.pipeline import run_pipeline
+
+        tr, cat, ap = _load_fixtures(spark, n_convs)
+        _PIPELINE_CACHE[key] = run_pipeline(spark, tr, cat, ap)
+    return _PIPELINE_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: four-stage KG construction; returns kg.edges."""
-    from kg.pipeline import run_pipeline
-
-    tr, cat, ap = _load_fixtures(spark)
-    res = run_pipeline(spark, tr, cat, ap)
-    return res["edges"]
+    return _pipeline_result(spark)["edges"]
 
 
 # --- KG pipeline stages as rows-only queries (non-SQL-expressible:
@@ -93,10 +111,20 @@ def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kg.pipeline import run_pipeline
+    """Node table projected to hashable/sortable columns: the driver's
+    canonicalizer sorts values in pandas, and raw array<string> labels /
+    map properties are unhashable there.  node_id (xxhash64) and the
+    constant provenance columns are projected out so the row is fully
+    oracle-checkable in DuckDB."""
+    from pyspark.sql import functions as F
 
-    tr, cat, ap = _load_fixtures(spark)
-    return run_pipeline(spark, tr, cat, ap)["nodes"]
+    nodes = _pipeline_result(spark)["nodes"]
+    return nodes.select(
+        "canonical_id",
+        F.array_join("labels", "|").alias("labels"),
+        "display_name",
+        "schema_class",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -120,7 +120,6 @@ def connected_components(
     Both produce canonical_id = lexicographic min of the component, so
     results are identical (asserted in tests/test_canonicalize.py).
     """
-    spark = edges.sparkSession
     approx_edges = edges.limit(small_graph_threshold + 1).count()
     if approx_edges <= small_graph_threshold:
         return _driver_union_find(edges)
@@ -152,16 +151,40 @@ def connected_components(
             F.least(F.coalesce("rep", "node"), F.col("node")).alias("canonical_id"),
         )
     )
-    # sanity: representatives must themselves be canonical (star property)
-    return mapping if spark is not None else mapping
+    return mapping
+
+
+def _fits_broadcast(df: DataFrame, threshold: int | None) -> bool:
+    """Row-count gate for broadcast decisions: one cheap limit+count.
+
+    threshold=None reads spark.kg.broadcastRowThreshold (default 4M rows ≈
+    a few hundred MB of (node, canonical_id) strings — executor-safe)."""
+    if threshold is None:
+        threshold = int(
+            df.sparkSession.conf.get("spark.kg.broadcastRowThreshold", "4000000")
+        )
+    if threshold <= 0:
+        return False
+    return df.limit(threshold + 1).count() <= threshold
 
 
 def apply_canonical_map(
-    linked_triples: DataFrame, mapping: DataFrame
+    linked_triples: DataFrame,
+    mapping: DataFrame,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
-    """Rewrite subj_id/obj_id to canonical ids.  The mapping is component-
-    count-sized (small) ⇒ broadcast; ids absent from it map to themselves."""
-    m = F.broadcast(mapping)
+    """Rewrite subj_id/obj_id to canonical ids; absent ids map to themselves.
+
+    The mapping has one row per node of the ALIAS graph — usually a dim,
+    but at 10^9 alias nodes it outgrows broadcast.  Size-gate: broadcast
+    below broadcast_threshold rows, else a plain shuffle join (AQE skew
+    splitting, enabled in kg/session.py, handles Zipfian-hot canonical
+    ids on the probe side)."""
+    m = (
+        F.broadcast(mapping)
+        if _fits_broadcast(mapping, broadcast_threshold)
+        else mapping
+    )
     return (
         linked_triples.join(
             m.select(F.col("node").alias("subj_id"), F.col("canonical_id").alias("subj_c")),

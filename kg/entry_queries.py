@@ -645,10 +645,8 @@ def dedup_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-@_q(
-    "dedup_minhash_lsh_pairs",
-    f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+_LSH_BUCKETS_SQL = f"""
+    w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
     sig AS (SELECT doc_id,
       list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
@@ -660,14 +658,25 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
       UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
       UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
-      UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL)
+      UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL),
+    capped AS (SELECT * FROM buckets
+               QUALIFY count(*) OVER (PARTITION BY band, mh) <= 10000)
+"""
+
+
+@_q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_LSH_BUCKETS_SQL}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a JOIN buckets b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs: band-bucket self-join."""
+    """MinHash-LSH candidate pairs: band-bucket self-join, hot buckets
+    capped at 10k docs (quadratic-blowup guard; same QUALIFY cap in the
+    oracle)."""
     from kg.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
@@ -702,16 +711,18 @@ def dedup_simhash32(spark, sf_dir):
 @_q(
     "dedup_ngram_jaccard",
     f"""
-    WITH w AS (SELECT doc_id, lang, source, {_WORDS_SQL} AS words
-               FROM documents),
-    shl AS (SELECT doc_id, lang, source, {_SHINGLES_SQL} AS sh FROM w),
-    sh AS (SELECT DISTINCT doc_id, lang, source, unnest(sh) AS shingle
-           FROM shl),
+    WITH {_LSH_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+    sh AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-        AND a.source = b.source AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
@@ -722,7 +733,8 @@ def dedup_simhash32(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs, blocked on (lang, source)."""
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs (the default
+    blocking — bounded at any corpus size, unlike a metadata block)."""
     from kg.ops.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
@@ -755,15 +767,52 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+# The sign-random-projection hyperplanes are deterministic host-side
+# constants (kg/ops/similarity.py:_hyperplane), so the DuckDB oracle can
+# inline them as double-literal arrays and recompute the exact bucket.
+def _bucket_sql(vcol: str, n_planes: int = 6, dim: int = 64) -> str:
+    from kg.ops.similarity import _hyperplane
+
+    terms = []
+    for p, plane in enumerate(_hyperplane(dim, n_planes)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {arr}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS_SQL = (
+    "round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv))"
+    " * sqrt(list_dot_product(v, v))), 6)"
+)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    eb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    p AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+          FROM eb WHERE vec_id < 5),
+    s AS (SELECT probe_id, eb.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+          FROM eb, p WHERE eb.bucket = pbucket AND eb.vec_id <> probe_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s)
+    SELECT probe_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_sim
+    FROM r WHERE rk <= 10
+    """,
+)
 def _ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 10^9-vector scale path);
-    rows-only: the deterministic hyperplanes are host-side constants."""
+    """LSH-bucketed approximate top-k (the 10^9-vector scale path); the
+    oracle recomputes the deterministic hyperplane buckets from literal
+    arrays."""
     from kg.ops.similarity import lsh_topk
 
     return lsh_topk(_t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10)
-
-
-_REGISTRY["ann_lsh_topk"] = (_ann_lsh_topk, None)
 
 _LANG_SCORE_SQL = {
     "en": "len(regexp_extract_all(lower(text), '\\bthe\\b')) + "
@@ -850,15 +899,32 @@ def text_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "mm_decode_features",
+    """
+    WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    x AS (SELECT doc_id, octet_length(payload) AS n,
+                 substring(lower(hex(payload)), 1, 128) AS hx
+          FROM b)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_bytes,
+      CAST(n % 640 + 1 AS BIGINT) AS fake_width,
+      CAST(n % 480 + 1 AS BIGINT) AS fake_height,
+      CAST(coalesce(list_sum(list_transform(range(1, least(n, 64) + 1), i ->
+             (instr('0123456789abcdef', substring(hx, 2*i-1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substring(hx, 2*i,   1)) - 1))), 0)
+           % 1000003 AS BIGINT) AS checksum
+    FROM x
+    """,
+)
 def _mm_decode_stub(spark, sf_dir):
     """Multimodal plumbing: binary payload column → mapInPandas feature
-    extraction with a stubbed decoder; rows-only (pandas-UDF op)."""
+    extraction with a (deterministic) stub decoder.  The stub's features
+    are pure byte arithmetic, so the oracle recomputes them in SQL from
+    the hex encoding of the same payload."""
     from kg.ops.multimodal import decode_features, with_binary_payload
 
     return decode_features(with_binary_payload(_t(spark, sf_dir, "documents")))
-
-
-_REGISTRY["mm_decode_features"] = (_mm_decode_stub, None)
 
 
 @_q(
@@ -913,9 +979,11 @@ def w4_sessionization(spark, sf_dir):
     opens a session; cumulative sum numbers sessions per user."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_sec = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
-    gap = ts_sec - F.lag(ts_sec).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # full microsecond precision: a cast to long truncates to seconds and
+    # misclassifies sub-second timestamps straddling the 1800s boundary
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is TIMESTAMP_NTZ
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     s = e.withColumn("new_session", new_s).withColumn(
         "session_no",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -1007,23 +1075,25 @@ def p20_first_element(spark, sf_dir):
 
 @_q(
     "dedup_embedding_cosine",
-    """
-    WITH e AS (SELECT vec_id, label,
+    f"""
+    WITH e AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)
+               FROM embeddings),
+    eb AS (SELECT vec_id, v, {_bucket_sql('v')} AS blk FROM e)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM eb a JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked on the label column
-    (IVF-style coarse quantization at scale)."""
+    """Embedding-cosine near-dup pairs, blocked on the sign-random-
+    projection bucket (the default — a real geometric quantization; a
+    metadata label block can be corpus-sized)."""
     from kg.ops.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(

@@ -99,6 +99,7 @@ def build_nodes(
     catalog: DataFrame,
     mapping: DataFrame,
     input_snapshot: str | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Distinct canonical entities → typed, labeled node table.
 
@@ -107,7 +108,22 @@ def build_nodes(
     class-ancestry array from the broadcast ENTITY_TYPE_LABELS map (P8
     analog, ReactomeBatchImporter.java:836-868); node_id is the
     deterministic xxhash64 of canonical_id (SURVEY.md §1.4 visited-map row).
+
+    The catalog and CC mapping are usually dimensions, but neither is
+    guaranteed to be: both broadcasts are size-gated (row-count probe vs
+    spark.kg.broadcastRowThreshold); above the gate they fall back to
+    shuffle joins, which AQE skew-splits if the keys are hot.
     """
+    from kg.canonicalize import _fits_broadcast
+
+    # probe the RAW inputs (cheap scans), not derived plans: `cat` below has
+    # ≤ 1 row per catalog row, so catalog's count bounds it.
+    _map_small = _fits_broadcast(mapping, broadcast_threshold)
+    _cat_small = _fits_broadcast(catalog, broadcast_threshold)
+
+    def _maybe_bcast(df: DataFrame, small: bool) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     ids = (
         canonical_triples.select(F.col("subj_id").alias("canonical_id"))
         .unionByName(canonical_triples.select(F.col("obj_id").alias("canonical_id")))
@@ -117,7 +133,7 @@ def build_nodes(
     # a merged alias, so push catalog attrs through the CC mapping first.
     cat = (
         catalog.join(
-            F.broadcast(mapping).withColumnRenamed("node", "entity_id"),
+            _maybe_bcast(mapping, _map_small).withColumnRenamed("node", "entity_id"),
             "entity_id",
             "left",
         )
@@ -144,7 +160,7 @@ def build_nodes(
             "entity_type string, labels array<string>",
         )
     )
-    n = ids.join(F.broadcast(cat), "canonical_id", "left")
+    n = ids.join(_maybe_bcast(cat, _cat_small), "canonical_id", "left")
     n = n.withColumn(
         "schema_class",
         F.when(F.col("entity_type").isNotNull(), F.col("entity_type"))

@@ -10,11 +10,13 @@ codegen; no Python in the hot path):
 - n-gram Jaccard: blocked shingle self-join → |∩| / |∪|
 
 Scale notes (10^8+ docs): the shingle arrays are computed per-row with
-array expressions (no explode until the join that needs it); the
-Jaccard self-join is blocked on (lang, source) — at production scale the
-block key would be an LSH band from the minhash signature, which is
-exactly what minhash_lsh_pairs produces; the exact-dedup groupBy is a
-single hash shuffle on a 128-bit key (uniform, no skew).
+array expressions (no explode until the join that needs it); Jaccard
+candidates come from the MinHash band buckets by default (a metadata
+block key can be corpus-sized ⇒ quadratic); LSH buckets themselves are
+capped at max_bucket_size docs (a 10^6-doc boilerplate bucket is a
+10^12-pair self-join) with the dropped buckets auditable via
+lsh_oversized_buckets; the exact-dedup groupBy is a single hash shuffle
+on a 128-bit key (uniform, no skew).
 """
 
 from __future__ import annotations
@@ -115,23 +117,68 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _lsh_buckets(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, mh) bucket membership rows."""
+    sig = minhash_signatures(docs, n_bands)
+    return (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("mh"))
+                    for b in range(n_bands)
+                ])
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.mh")
+        .where(F.col("mh").isNotNull())
+    )
+
+
+def lsh_oversized_buckets(
+    docs: DataFrame, n_bands: int = N_BANDS, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """(band, mh, n_docs) for buckets ABOVE the pair-explosion cap — the
+    buckets minhash_lsh_pairs drops.  Materialize this alongside the pairs
+    for a drop-count audit (the cap must never be silent)."""
+    return (
+        _lsh_buckets(docs, n_bands)
+        .groupBy("band", "mh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any band bucket.
 
     band-bucket join is the LSH trick: at 10^8 docs the self-join is on
-    (band, minhash) — high-cardinality uniform keys, shuffle-friendly;
-    hot buckets (boilerplate docs) are exactly the pairs we want.
+    (band, minhash) — high-cardinality uniform keys, shuffle-friendly.
+
+    Hot-bucket cap: one bucket of 10^6 identical boilerplate docs is a
+    10^12-row self-join — quadratic blowup from a single key.  Buckets
+    above max_bucket_size are excluded via a map-combined count + a
+    broadcast anti-join (the oversized set is ≤ |docs|·bands/cap rows by
+    construction, so it always broadcasts).  Such buckets are exact-dup
+    territory anyway — run exact_dedup first, and audit the drops with
+    lsh_oversized_buckets.  max_bucket_size=None disables the cap.
     """
-    sig = minhash_signatures(docs, n_bands)
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("mh"))
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.mh").where(F.col("mh").isNotNull())
+    buckets = _lsh_buckets(docs, n_bands)
+    if max_bucket_size is not None:
+        oversized = (
+            buckets.groupBy("band", "mh")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket_size)
+            .select("band", "mh")
+        )
+        buckets = buckets.join(F.broadcast(oversized), ["band", "mh"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -180,32 +227,55 @@ def simhash32(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.05,
-    block_cols: tuple[str, ...] = ("lang", "source"),
+    block_cols: tuple[str, ...] | None = None,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard): word-3-shingle Jaccard over blocked pairs.
+    """(doc_a, doc_b, jaccard): exact word-3-shingle Jaccard over blocked
+    candidate pairs.
 
-    Pure relational: explode distinct shingles, self-join inside blocks,
-    count |∩|, derive |∪| = na + nb − |∩|.  Blocking bounds the pair
-    count; at scale swap block_cols for an LSH band key.
+    DEFAULT blocking (block_cols=None) is the MinHash-LSH band bucket —
+    candidate pairs come from minhash_lsh_pairs (bounded per bucket), then
+    each candidate's |∩| is counted exactly and |∪| = na + nb − |∩|.
+    Bucket membership bounds the pair count at any corpus size; a metadata
+    block like (lang, source) does NOT (one block can be corpus-sized ⇒
+    quadratic), so that path survives only as an explicit opt-in for
+    small, genuinely-partitioned corpora.
     """
     sh = (
         with_shingles(docs)
-        .select("doc_id", *block_cols, F.explode("sh").alias("shingle"))
+        .select("doc_id", *(block_cols or ()), F.explode("sh").alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    common = (
-        a.join(b, cond)
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if block_cols is None:
+        # LSH candidates share the band-argmin shingle, so the inner joins
+        # below can never drop a candidate (n_common ≥ 1).
+        cand = minhash_lsh_pairs(docs, n_bands, max_bucket_size)
+        common = (
+            cand.join(
+                sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        common = (
+            a.join(b, cond)
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

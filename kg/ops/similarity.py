@@ -130,18 +130,31 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    block_col: str = "label",
+    block_col: str | None = None,
+    n_planes: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim): embedding-cosine near-duplicate pairs.
 
     The dedup flavor of similarity search: pairs above a cosine threshold
-    are duplicate candidates.  Blocked on a coarse-quantization column
-    (here the given label; at scale an IVF/LSH bucket from lsh_bucket) so
-    the self-join is per-block, not corpus².
+    are duplicate candidates.  DEFAULT blocking (block_col=None) is the
+    sign-random-projection bucket from lsh_bucket — an actual geometric
+    quantization whose bucket population shrinks as ~1/2^n_planes of the
+    corpus, so the per-block self-join stays bounded at any scale.  A
+    metadata column (label/source) is an explicit opt-in only: one label
+    value can be corpus-sized, which re-creates the quadratic join.
     """
-    e = embeddings.select(
-        "vec_id", F.col(block_col).alias("_blk"), as_double(F.col("embedding")).alias("v")
-    )
+    if block_col is None:
+        planes = _hyperplane(dim, n_planes)
+        e = embeddings.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("_blk", lsh_bucket(F.col("v"), planes))
+    else:
+        e = embeddings.select(
+            "vec_id",
+            F.col(block_col).alias("_blk"),
+            as_double(F.col("embedding")).alias("v"),
+        )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,

@@ -91,7 +91,20 @@ def skew_join(
 
     Result is identical to probe.join(build, key_col, how) — asserted in
     tests — but no reducer receives more than ~1/n_salts of any hot key.
+
+    Only probe-side-preserving join types are valid: build-side-preserving
+    shapes (right/full outer) would replicate unmatched hot BUILD rows
+    n_salts times (explode_hot_build copies them per salt), yielding
+    n_salts duplicate null-extended rows instead of one.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"skew_join supports probe-preserving joins only {sorted(allowed)}, got {how!r}"
+        )
     hot = key_frequency_sketch(probe, key_col, min_share)
     p = salt_hot_keys(probe, key_col, hot, n_salts)
     b = explode_hot_build(build, key_col, hot, n_salts)

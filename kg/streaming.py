@@ -101,6 +101,15 @@ def run_incremental(
     )
     q.awaitTermination()
 
+    if not os.path.exists(triples_dir):
+        # empty input directory ⇒ no micro-batch ever wrote: return an
+        # empty, correctly-typed edge table instead of PATH_NOT_FOUND
+        from kg.schema import EDGES_SCHEMA
+
+        return {
+            "epochs": 0,
+            "edges": spark.createDataFrame([], EDGES_SCHEMA),
+        }
     triples = spark.read.parquet(triples_dir).drop("epoch")
     return {"epochs": len(epochs), "edges": build_edges(triples)}
 

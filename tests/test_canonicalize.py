@@ -73,3 +73,28 @@ def test_matches_oracle_on_synthetic(spark, alias_pairs_df, alias_pairs_pdf):
             ).collect()
         }
         assert got == expected
+
+
+def test_apply_canonical_map_shuffle_path_equals_broadcast(spark):
+    """Size gate: threshold=0 forces the shuffle join; results identical to
+    the broadcast path (VERDICT r1 'What's wrong' #2)."""
+    from kg.canonicalize import apply_canonical_map
+
+    linked = spark.createDataFrame(
+        [("c1", 0, 0, "a", "p", "b"), ("c1", 1, 0, "b", "p", "zz"),
+         ("c2", 0, 3, "q", "p", "a")],
+        "conv_id string, turn_idx int, span_start int, subj_id string, pred string, obj_id string",
+    )
+    mapping = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("q", "Q")], "node string, canonical_id string"
+    )
+    bcast = apply_canonical_map(linked, mapping, broadcast_threshold=10_000)
+    shuf = apply_canonical_map(linked, mapping, broadcast_threshold=0)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    # the gated plan carries no UNCONDITIONAL broadcast hint — AQE may still
+    # promote the join at runtime when the actual size is small (desired),
+    # but the decision is now size-based, not hardcoded
+    analyzed = shuf._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    hinted = bcast._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted

@@ -86,3 +86,23 @@ def test_qa_consistency_flags_mandatory_nulls(spark):
     rep = {r["Attribute"]: r["violations"] for r in qa_consistency(df, "edges").collect()}
     assert rep["src"] == 2  # one null + one empty
     assert "dst" not in rep
+
+
+def test_build_nodes_shuffle_path_equals_broadcast(spark, catalog_df):
+    """Size-gated catalog/mapping broadcasts: forcing the shuffle path
+    (threshold=0) yields byte-identical node rows."""
+    from kg.materialize import build_nodes
+
+    canonical = spark.createDataFrame(
+        [("c1", 0, 0, "cat:Q00000", "p", "new:thing"),
+         ("c1", 1, 2, "new:thing", "p", "tool:search")],
+        "conv_id string, turn_idx int, span_start int, subj_id string, pred string, obj_id string",
+    )
+    mapping = spark.createDataFrame(
+        [("cat:Q00001", "cat:Q00000")], "node string, canonical_id string"
+    )
+    a = build_nodes(canonical, catalog_df, mapping, broadcast_threshold=10_000)
+    b = build_nodes(canonical, catalog_df, mapping, broadcast_threshold=0)
+    ka = sorted(map(tuple, a.drop("properties").collect()))
+    kb = sorted(map(tuple, b.drop("properties").collect()))
+    assert ka == kb

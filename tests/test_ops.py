@@ -140,3 +140,63 @@ def test_multimodal_plumbing_deterministic(spark):
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
     assert out1[0]["n_bytes"] == 5
     assert out1[0]["fake_width"] == 6 and out1[0]["fake_height"] == 6  # 5%640+1
+
+
+def test_lsh_hot_bucket_cap_drops_pathological_bucket(spark):
+    """100 identical boilerplate docs = one bucket = 4950 pairs; with the
+    cap at 10, the bucket is dropped (0 pairs) and the oversized-bucket
+    audit reports it — never a silent quadratic blowup."""
+    from kg.ops.dedup import lsh_oversized_buckets
+
+    boiler = "the same boilerplate text repeated in every single document here"
+    rows = [(i, boiler, "en", "s", 1) for i in range(100)]
+    rows.append((999, "a completely different document body with unique words", "en", "s", 1))
+    d = _docs(spark, rows)
+    capped = minhash_lsh_pairs(d, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(d, max_bucket_size=None)
+    assert uncapped.count() == 100 * 99 // 2
+    audit = lsh_oversized_buckets(d, max_bucket_size=10).collect()
+    assert len(audit) == 4  # all 4 bands of the boilerplate bucket
+    assert all(r["n_docs"] == 100 for r in audit)
+
+
+def test_ngram_jaccard_explicit_block_cols_path(spark):
+    """The metadata-block opt-in still works and agrees with the LSH
+    default on docs that share a band."""
+    d = _docs(
+        spark,
+        [(1, "a b c d", "en", "s", 1), (2, "a b c e", "en", "s", 1)],
+    )
+    lsh_default = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(d, threshold=0.0).collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            d, threshold=0.0, block_cols=("lang", "source")
+        ).collect()
+    }
+    assert lsh_default == blocked == {(1, 2, 1 / 3)} or (
+        lsh_default == blocked and len(blocked) == 1
+    )
+
+
+def test_embedding_near_dup_bucket_blocks_quadratic(spark):
+    """Default bucket blocking: near-identical vectors land in one bucket
+    and are found; orthogonal vectors are not compared."""
+    import numpy as np
+
+    from kg.ops.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = [
+        (1, [float(x) for x in base], "a"),
+        (2, [float(x) for x in base + 0.01 * rng.randn(64)], "a"),
+        (3, [float(x) for x in -base], "b"),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(e, 0.9).collect()}
+    assert pairs == {(1, 2)}

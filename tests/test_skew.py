@@ -76,3 +76,24 @@ def test_salted_aggregate_matches_direct(spark):
     salted = {r["k"]: r["count"]
               for r in salted_aggregate_counts(df, "k", min_share=0.05).collect()}
     assert direct == salted
+
+
+def test_skew_join_rejects_build_preserving(spark):
+    """right/full outer would duplicate unmatched hot build rows ×n_salts."""
+    import pytest
+
+    probe = _zipf_df(spark, n=200)
+    build = spark.createDataFrame(pd.DataFrame({"k": ["HOT"], "label": ["h"]}))
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError):
+            skew_join(probe, build, "k", how=how)
+
+
+def test_skew_join_left_anti_matches_plain(spark):
+    probe = _zipf_df(spark)
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["HOT", "7", "13"], "label": ["h", "a", "b"]})
+    )
+    plain = probe.join(build.select("k"), "k", "left_anti")
+    salted = skew_join(probe, build.select("k"), "k", how="left_anti")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -122,3 +122,18 @@ def test_stateful_extract_spans_microbatches(spark, tmp_path):
            sorted(map(tuple, exp[key].values.tolist()))
     assert ("Delta", "followed_by", "Alpha") in set(
         zip(got.subj_surface, got.pred, got.obj_surface))
+
+
+def test_incremental_empty_input_dir(spark, catalog_df, alias_pairs_df, tmp_path):
+    """No input files ⇒ zero epochs + an empty, correctly-typed edge table
+    (was: PATH_NOT_FOUND on the post-drain read)."""
+    from kg.streaming import run_incremental
+
+    in_dir = tmp_path / "in_empty"
+    in_dir.mkdir()
+    res = run_incremental(
+        spark, str(in_dir), catalog_df, alias_pairs_df, str(tmp_path / "out")
+    )
+    assert res["epochs"] == 0
+    assert res["edges"].count() == 0
+    assert "rel_type" in res["edges"].columns
