@@ -82,21 +82,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return _pipeline_result(spark)["edges"]
 
 
-# --- KG pipeline stages as rows-only queries (non-SQL-expressible:
-# conversation-window pandas-UDF extraction + iterative CC fixpoint) ------
+# --- KG pipeline stages as oracle-checked queries ------------------------
+# The Spark side runs the real pipeline operators (pandas-UDF extraction,
+# broadcast linking, iterative CC); the DuckDB oracle below transliterates
+# the SEMANTICS (extraction rules R1-R3 incl. char spans, normalized-alias
+# linking with deterministic minting, recursive-CTE connected components,
+# and the stoichiometry/order edge aggregation) into pure SQL over the
+# same fixture parquet — a fully independent execution path.
 def _kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from kg.extract import extract_triples
 
     tr, _, _ = _load_fixtures(spark)
-    return extract_triples(tr)
+    return extract_triples(tr).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("span_start").cast("long").alias("span_start"),
+        "subj_surface",
+        "pred",
+        "obj_surface",
+    )
 
 
 def _kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from kg.extract import extract_triples
     from kg.link import link_triples
 
     tr, cat, _ = _load_fixtures(spark)
-    return link_triples(extract_triples(tr), cat)
+    return link_triples(extract_triples(tr), cat).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("span_start").cast("long").alias("span_start"),
+        "subj_id",
+        "pred",
+        "obj_id",
+    )
 
 
 def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +130,16 @@ def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return entry(spark)
+    from pyspark.sql import functions as F
+
+    return entry(spark).select(
+        "src",
+        "dst",
+        "rel_type",
+        F.col("stoichiometry").cast("long").alias("stoichiometry"),
+        F.col("order").cast("long").alias("order"),
+        "conv_id",
+    )
 
 
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,5 +173,198 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return qs
 
 
+# --- DuckDB transliteration of the four pipeline stages -------------------
+# Shared CTE fragments, parameterized by the fixture parquet paths.  Each
+# stage's SQL composes the previous stages' fragments, so kg_edges/kg_nodes
+# are the full pipeline re-derived in one (independent) SQL engine.
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
+    # Stage 1: mention spans via split-parts cumsum (validated == re.finditer)
+    extract = f"""
+    t AS (SELECT conv_id, turn_idx, role, tool, coalesce(text, '') AS text
+          FROM read_parquet('{p["transcripts"]}')),
+    rawm AS (SELECT conv_id, turn_idx, role, tool,
+               regexp_extract_all(text, '\\[\\[(.*?)\\]\\]', 1) AS surfs,
+               regexp_split_to_array(text, '\\[\\[.*?\\]\\]') AS parts
+             FROM t),
+    m_all AS (SELECT conv_id, turn_idx, role, tool, surfs, parts,
+                unnest(range(1, len(surfs) + 1)) AS k
+              FROM rawm),
+    mentions AS (
+      SELECT conv_id, turn_idx, role, tool, surfs[k] AS surface,
+             CAST(coalesce(list_sum(list_transform(parts[1:k], x -> length(x))), 0)
+                + coalesce(list_sum(list_transform(surfs[1:k-1], x -> length(x))), 0)
+                + 4 * (k - 1) AS BIGINT) AS span_start,
+             row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY k) AS pos,
+             count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_in_turn
+      FROM m_all WHERE trim(surfs[k]) <> ''),
+    r1 AS (
+      SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx, a.span_start,
+             a.surface AS subj_surface, 'co_occurs_with' AS pred,
+             b.surface AS obj_surface
+      FROM mentions a JOIN mentions b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND b.pos = a.pos + 1),
+    turns AS (
+      SELECT conv_id, turn_idx,
+             min(CASE WHEN pos = 1 THEN surface END) AS first_surface,
+             min(CASE WHEN pos = n_in_turn THEN surface END) AS last_surface,
+             min(CASE WHEN pos = n_in_turn THEN span_start END) AS last_span
+      FROM mentions GROUP BY conv_id, turn_idx),
+    r2 AS (
+      SELECT conv_id,
+             CAST(lag(turn_idx) OVER w AS BIGINT) AS turn_idx,
+             lag(last_span) OVER w AS span_start,
+             lag(last_surface) OVER w AS subj_surface,
+             'followed_by' AS pred,
+             first_surface AS obj_surface
+      FROM turns
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+      QUALIFY lag(turn_idx) OVER w IS NOT NULL),
+    r3 AS (
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, span_start,
+             surface AS subj_surface, 'produced_by' AS pred,
+             'tool::' || tool AS obj_surface
+      FROM mentions WHERE role = 'tool' AND tool IS NOT NULL),
+    raw_triples AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+    """
+    # Stage 2: normalized-alias index + deterministic minting
+    link = f"""
+    cat_alias AS (SELECT entity_id, unnest(aliases) AS alias
+                  FROM read_parquet('{p["entity_catalog"]}')),
+    idx AS (SELECT {_NORM.format(c="alias")} AS blocking_key,
+                   min(entity_id) AS entity_id
+            FROM cat_alias GROUP BY 1),
+    keyed AS (SELECT *, {_NORM.format(c="subj_surface")} AS sk,
+                     {_NORM.format(c="obj_surface")} AS ok
+              FROM raw_triples),
+    linked AS (
+      SELECT k.conv_id, k.turn_idx, k.span_start,
+             coalesce(si.entity_id,
+               CASE WHEN k.sk LIKE 'tool::%' THEN 'tool:' || k.sk[7:]
+                    ELSE 'new:' || k.sk END) AS subj_id,
+             k.pred,
+             coalesce(oi.entity_id,
+               CASE WHEN k.ok LIKE 'tool::%' THEN 'tool:' || k.ok[7:]
+                    ELSE 'new:' || k.ok END) AS obj_id
+      FROM keyed k
+      LEFT JOIN idx si ON si.blocking_key = k.sk
+      LEFT JOIN idx oi ON oi.blocking_key = k.ok)
+    """
+    # Stage 3: connected components = min reachable node (recursive CTE)
+    cc = f"""
+    und AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM read_parquet('{p["alias_pairs"]}')
+              UNION ALL
+              SELECT dst, src FROM read_parquet('{p["alias_pairs"]}'))),
+    cc_nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach AS (
+      SELECT node, node AS r FROM cc_nodes
+      UNION
+      SELECT reach.node, und.dst AS r FROM reach JOIN und ON und.src = reach.r),
+    mapping AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+    """
+    # Stage 4a: canonical rewrite + flip/symmetry + stoichiometry/order agg
+    edges = """
+    canon AS (
+      SELECT l.conv_id, l.turn_idx, l.span_start,
+             coalesce(ms.canonical_id, l.subj_id) AS subj_id,
+             l.pred,
+             coalesce(mo.canonical_id, l.obj_id) AS obj_id
+      FROM linked l
+      LEFT JOIN mapping ms ON ms.node = l.subj_id
+      LEFT JOIN mapping mo ON mo.node = l.obj_id),
+    occ AS (
+      SELECT conv_id, turn_idx, span_start,
+        CASE WHEN pred = 'produced_by' THEN obj_id
+             WHEN pred = 'co_occurs_with' THEN least(subj_id, obj_id)
+             ELSE subj_id END AS src,
+        CASE WHEN pred = 'produced_by' THEN 'produces' ELSE pred END AS rel_type,
+        CASE WHEN pred = 'produced_by' THEN subj_id
+             WHEN pred = 'co_occurs_with' THEN greatest(subj_id, obj_id)
+             ELSE obj_id END AS dst
+      FROM canon WHERE subj_id <> obj_id),
+    grp AS (
+      SELECT src, rel_type, dst, conv_id, turn_idx, span_start,
+             count(*) OVER (PARTITION BY src, rel_type, dst) AS stoich,
+             row_number() OVER (PARTITION BY src, rel_type, dst
+                                ORDER BY conv_id, turn_idx, span_start) AS rn
+      FROM occ),
+    firsts AS (SELECT * FROM grp WHERE rn = 1),
+    edges AS (
+      SELECT src, dst, rel_type, CAST(stoich AS BIGINT) AS stoichiometry,
+             CAST(row_number() OVER (PARTITION BY src, rel_type
+                  ORDER BY conv_id, turn_idx, span_start, dst) AS BIGINT)
+               AS "order",
+             conv_id
+      FROM firsts)
+    """
+    # Stage 4b: node table (representative catalog row per component +
+    # class->label-ancestry map, mirroring kg/schema.py ENTITY_TYPE_LABELS)
+    nodes = f"""
+    cat_canon AS (
+      SELECT coalesce(m.canonical_id, c.entity_id) AS canonical_id,
+             c.entity_id, c.canonical_name, c.entity_type
+      FROM read_parquet('{p["entity_catalog"]}') c
+      LEFT JOIN mapping m ON m.node = c.entity_id),
+    cat_repr AS (
+      SELECT * FROM cat_canon
+      QUALIFY row_number() OVER (PARTITION BY canonical_id
+                                 ORDER BY entity_id) = 1),
+    -- NB: inside WITH RECURSIVE, DuckDB treats a top-level UNION CTE as a
+    -- recursive candidate and skips the dedup; force it via DISTINCT
+    ids AS (SELECT DISTINCT canonical_id FROM (
+              SELECT subj_id AS canonical_id FROM canon
+              UNION ALL SELECT obj_id FROM canon)),
+    label_map(entity_type, labels) AS (VALUES
+      ('person', 'Person|Agent|Entity'), ('tool', 'Tool|Artifact|Entity'),
+      ('concept', 'Concept|Entity'), ('org', 'Organization|Agent|Entity'),
+      ('minted', 'MintedEntity|Entity')),
+    n0 AS (
+      SELECT i.canonical_id,
+        CASE WHEN r.entity_type IS NOT NULL THEN r.entity_type
+             WHEN i.canonical_id LIKE 'tool:%' THEN 'tool'
+             ELSE 'minted' END AS schema_class,
+        coalesce(r.canonical_name,
+          regexp_replace(i.canonical_id, '^(new:|tool:)', '')) AS display_name
+      FROM ids i LEFT JOIN cat_repr r ON r.canonical_id = i.canonical_id),
+    nodes AS (
+      SELECT n0.canonical_id, coalesce(l.labels, 'Entity') AS labels,
+             n0.display_name, n0.schema_class
+      FROM n0 LEFT JOIN label_map l ON l.entity_type = n0.schema_class)
+    """
+    return {
+        "extract": extract, "link": link, "cc": cc,
+        "edges": edges, "nodes": nodes,
+    }
+
+
+def _kg_oracle_sql() -> dict[str, str]:
+    frags = _kg_sql_fragments(_fixture_paths())
+    return {
+        "kg_extract_triples": f"WITH {frags['extract']} SELECT * FROM raw_triples",
+        "kg_linked_triples": (
+            f"WITH {frags['extract']}, {frags['link']} SELECT * FROM linked"
+        ),
+        "kg_connected_components": (
+            f"WITH RECURSIVE {frags['cc']} SELECT * FROM mapping"
+        ),
+        "kg_edges": (
+            f"WITH RECURSIVE {frags['extract']}, {frags['link']}, {frags['cc']},"
+            f" {frags['edges']} SELECT * FROM edges"
+        ),
+        "kg_nodes": (
+            f"WITH RECURSIVE {frags['extract']}, {frags['link']}, {frags['cc']},"
+            f" {frags['edges']}, {frags['nodes']} SELECT * FROM nodes"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(entry_queries.oracle_sql())
+    sqls = dict(entry_queries.oracle_sql())
+    sqls.update(_kg_oracle_sql())  # also ensures fixtures exist on disk
+    return sqls
