@@ -332,10 +332,25 @@ def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
         coalesce(r.canonical_name,
           regexp_replace(i.canonical_id, '^(new:|tool:)', '')) AS display_name
       FROM ids i LEFT JOIN cat_repr r ON r.canonical_id = i.canonical_id),
+    tlp AS (SELECT canonical_id FROM mapping
+            GROUP BY canonical_id HAVING count(*) >= 2),
+    n1 AS (
+      SELECT n0.canonical_id, coalesce(l.labels, 'Entity') AS labels0,
+             n0.display_name, n0.schema_class AS class0,
+             t.canonical_id IS NOT NULL AS is_tlp
+      FROM n0
+      LEFT JOIN label_map l ON l.entity_type = n0.schema_class
+      LEFT JOIN tlp t ON t.canonical_id = n0.canonical_id),
     nodes AS (
-      SELECT n0.canonical_id, coalesce(l.labels, 'Entity') AS labels,
-             n0.display_name, n0.schema_class
-      FROM n0 LEFT JOIN label_map l ON l.entity_type = n0.schema_class)
+      SELECT canonical_id,
+             CASE WHEN is_tlp THEN labels0 || '|TopLevelEntity'
+                  ELSE labels0 END AS labels,
+             display_name,
+             CASE WHEN is_tlp THEN 'TopLevelEntity' ELSE class0 END
+               AS schema_class
+      FROM n1
+      UNION ALL
+      SELECT 'dbinfo:kg-pipeline', 'DBInfo|Entity', 'kg-pipeline', 'DBInfo')
     """
     return {
         "extract": extract, "link": link, "cc": cc,

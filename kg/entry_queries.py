@@ -1074,6 +1074,43 @@ def p20_first_element(spark, sf_dir):
 
 
 @_q(
+    "j7_transitive_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'R:' || r_name AS src, 'N:' || n_name AS dst
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'N:' || n_name, 'S:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    reach AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION
+      SELECT reach.src, e.dst FROM reach
+      JOIN e ON e.src = reach.dst WHERE reach.src <> e.dst)
+    SELECT DISTINCT src, dst FROM reach
+    """,
+)
+def j7_transitive_closure(spark, sf_dir):
+    """J7 (GKInstanceHelper.java:23-46 recursive containment expansion):
+    semi-naive driver-side fixpoint closure over the region ⊃ nation ⊃
+    supplier hierarchy; oracle is DuckDB's recursive CTE."""
+    from kg.ops.graph import transitive_closure
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    e1 = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.concat(F.lit("R:"), "r_name").alias("src"),
+        F.concat(F.lit("N:"), "n_name").alias("dst"),
+    )
+    e2 = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        F.concat(F.lit("N:"), "n_name").alias("src"),
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("dst"),
+    )
+    return transitive_closure(e1.unionByName(e2))
+
+
+@_q(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (SELECT vec_id,

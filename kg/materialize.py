@@ -94,12 +94,33 @@ def build_edges(canonical_triples: DataFrame) -> DataFrame:
     )
 
 
+TOP_LEVEL_LABEL = "TopLevelEntity"
+DB_INFO_ID = "dbinfo:kg-pipeline"
+
+
+def top_level_component_ids(mapping: DataFrame) -> DataFrame:
+    """Default 'top-level' set (P9 analog): representatives of alias
+    components that actually merged ≥ 2 nodes — the cluster heads.  The
+    reference receives its topLevelPathways set from a precomputed query
+    (ReactomeBatchImporter.java:360); ours is derived from the CC mapping,
+    but build_nodes accepts any (canonical_id) set, so callers can inject
+    a domain-specific one exactly like the reference does."""
+    return (
+        mapping.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("canonical_id")
+    )
+
+
 def build_nodes(
     canonical_triples: DataFrame,
     catalog: DataFrame,
     mapping: DataFrame,
     input_snapshot: str | None = None,
     broadcast_threshold: int | None = None,
+    top_level_ids: DataFrame | None = None,
+    db_info: dict | None = None,
 ) -> DataFrame:
     """Distinct canonical entities → typed, labeled node table.
 
@@ -178,10 +199,35 @@ def build_nodes(
     n = n.join(labels_df, n["schema_class"] == labels_df["entity_type"], "left").drop(
         labels_df["entity_type"]
     )
-    return n.select(
+    n = n.withColumn("labels", F.coalesce("labels", F.array(F.lit("Entity"))))
+    if top_level_ids is not None:
+        # P9 (ReactomeBatchImporter.java:369-374): membership semi-join flag
+        # ⇒ append the extra label to the ORIGINAL ancestry AND override the
+        # schema class, exactly like TopLevelPathway in the reference.
+        flags = top_level_ids.select("canonical_id").distinct().withColumn(
+            "_is_tlp", F.lit(True)
+        )
+        n = (
+            n.join(F.broadcast(flags), "canonical_id", "left")
+            .withColumn(
+                "labels",
+                F.when(
+                    F.col("_is_tlp"),
+                    F.array_union("labels", F.array(F.lit(TOP_LEVEL_LABEL))),
+                ).otherwise(F.col("labels")),
+            )
+            .withColumn(
+                "schema_class",
+                F.when(F.col("_is_tlp"), F.lit(TOP_LEVEL_LABEL)).otherwise(
+                    F.col("schema_class")
+                ),
+            )
+            .drop("_is_tlp")
+        )
+    out = n.select(
         F.xxhash64("canonical_id").alias("node_id"),
         "canonical_id",
-        F.coalesce("labels", F.array(F.lit("Entity"))).alias("labels"),
+        "labels",
         "display_name",
         "schema_class",
         F.create_map(F.lit("source"), F.lit("kg-pipeline")).alias("properties"),
@@ -189,6 +235,60 @@ def build_nodes(
         F.lit("materialize").alias("stage"),
         F.lit(input_snapshot).cast("string").alias("input_snapshot"),
     )
+    if db_info is not None:
+        out = out.unionByName(db_info_node(spark, input_snapshot, db_info))
+    return out
+
+
+def db_info_node(
+    spark: SparkSession, input_snapshot: str | None, db_info: dict
+) -> DataFrame:
+    """P10 (ReactomeBatchImporter.java:195-216,383-388): ONE first-class
+    graph node carrying provenance — name, input checksum, engine version —
+    with the DBInfo label leading, unioned into kg.nodes so provenance is
+    queryable from the graph itself (not just the sidecar manifest)."""
+    name = str(db_info.get("name", "kg-pipeline"))
+    props = [("source", "kg-pipeline")] + sorted(
+        (str(k), str(v)) for k, v in db_info.items()
+    )
+    kv = [F.lit(x) for pair in props for x in pair]
+    row = spark.range(1).select(
+        F.xxhash64(F.lit(DB_INFO_ID)).alias("node_id"),
+        F.lit(DB_INFO_ID).alias("canonical_id"),
+        F.array(F.lit("DBInfo"), F.lit("Entity")).alias("labels"),
+        F.lit(name).alias("display_name"),
+        F.lit("DBInfo").alias("schema_class"),
+        F.create_map(*kv).alias("properties"),
+        F.lit(RUN_TS).alias("created_ts"),
+        F.lit("materialize").alias("stage"),
+        F.lit(input_snapshot).cast("string").alias("input_snapshot"),
+    )
+    return row
+
+
+def discarded_catalog_entities(catalog: DataFrame, mapping: DataFrame) -> DataFrame:
+    """D5 (ReactomeBatchImporter.java:81,615,624 `discarded` set): the
+    LOSERS of the representative-per-component top-1 reduction — catalog
+    rows whose attributes were dropped because another entity of the same
+    alias component won (min entity_id).  Returns (entity_id,
+    canonical_id); count it into the run manifest like the reference's
+    import summary."""
+    ranked = (
+        catalog.join(
+            mapping.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+        )
+        .select(
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+            "entity_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_id").orderBy("entity_id")
+            ),
+        )
+    )
+    return ranked.where(F.col("rn") > 1).select("entity_id", "canonical_id")
 
 
 # ---------------------------------------------------------------------------
@@ -200,11 +300,24 @@ def qa_uniqueness(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.groupBy(*keys).count().where(F.col("count") > 1)
 
 
-def qa_consistency(df: DataFrame, table: str) -> DataFrame:
+def qa_consistency(
+    df: DataFrame,
+    table: str,
+    exemptions: dict[str, list] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
     """V1: nullability-category violations per column, as a report
     DataFrame with the same CSV header as ReactomeBatchImporter.java:1173:
-    (SchemaClass, Attribute, Category, Error, violations)."""
+    (SchemaClass, Attribute, Category, Error, violations).
+
+    V4 (ReactomeBatchImporter.java:1131-1132: TAXONOMY_ROOT is exempted
+    from the missing-superTaxon check): ``exemptions`` maps an attribute
+    name to the list of ``id_col`` values allowed to violate it — those
+    rows are excluded from that attribute's count only."""
     cats = ATTRIBUTE_CATEGORIES.get(table, {})
+    exemptions = exemptions or {}
+    if exemptions and id_col is None:
+        raise ValueError("exemptions require id_col to identify exempted rows")
     checks = []
     for col, cat in cats.items():
         if col not in df.columns:
@@ -217,13 +330,16 @@ def qa_consistency(df: DataFrame, table: str) -> DataFrame:
             )
         else:
             empty_violation = F.lit(False)
+        violation = null_violation | empty_violation
+        if col in exemptions:
+            violation = violation & ~F.col(id_col).isin(exemptions[col])
         checks.append(
             F.struct(
                 F.lit(table).alias("SchemaClass"),
                 F.lit(col).alias("Attribute"),
                 F.lit(cat).alias("Category"),
                 F.lit("null-or-empty").alias("Error"),
-                F.sum((null_violation | empty_violation).cast("long")).alias("violations"),
+                F.sum(violation.cast("long")).alias("violations"),
             ).alias(f"chk_{col}")
         )
     if not checks:
@@ -254,10 +370,15 @@ def input_snapshot_checksum(spark: SparkSession, df: DataFrame) -> str:
 __all__ = [
     "build_edges",
     "build_nodes",
+    "db_info_node",
+    "discarded_catalog_entities",
+    "top_level_component_ids",
     "qa_uniqueness",
     "qa_consistency",
     "input_snapshot_checksum",
     "SYMMETRIC_PREDICATES",
     "REVERSED_PREDICATES",
     "RUN_TS",
+    "TOP_LEVEL_LABEL",
+    "DB_INFO_ID",
 ]

@@ -23,9 +23,11 @@ from kg.link import link_triples
 from kg.materialize import (
     build_edges,
     build_nodes,
+    discarded_catalog_entities,
     input_snapshot_checksum,
     qa_consistency,
     qa_uniqueness,
+    top_level_component_ids,
 )
 
 STAGES = ("raw_triples", "linked_triples", "canonical_triples", "nodes", "edges")
@@ -55,7 +57,18 @@ def run_pipeline(
     mapping = connected_components(alias_pairs)  # has its own actions (fixpoint)
     canonical = apply_canonical_map(linked, mapping).persist()
     edges = build_edges(canonical)
-    nodes = build_nodes(canonical, catalog, mapping, input_snapshot)
+    nodes = build_nodes(
+        canonical,
+        catalog,
+        mapping,
+        input_snapshot,
+        top_level_ids=top_level_component_ids(mapping),  # P9 analog
+        db_info={  # P10 analog: provenance as a first-class node
+            "name": "kg-pipeline",
+            "checksum": input_snapshot or "",
+            "engine": f"spark-{spark.version}",
+        },
+    )
     return {
         "raw_triples": raw,
         "linked_triples": linked,
@@ -118,13 +131,31 @@ def run_pipeline_materialized(
     canonical = _stage(
         "canonical_triples", lambda: apply_canonical_map(linked, mapping)
     )
-    nodes = _stage("nodes", lambda: build_nodes(canonical, catalog, mapping, snap))
+    nodes = _stage(
+        "nodes",
+        lambda: build_nodes(
+            canonical,
+            catalog,
+            mapping,
+            snap,
+            top_level_ids=top_level_component_ids(mapping),
+            db_info={
+                "name": "kg-pipeline",
+                "checksum": snap,
+                "engine": f"spark-{spark.version}",
+            },
+        ),
+    )
     edges = _stage("edges", lambda: build_edges(canonical))
     qa = run_qa(nodes, edges)
+    # D5 analog (ReactomeBatchImporter.java:81,615,624): count the losers
+    # of the representative-per-component top-1 reduction in the summary
+    discarded = discarded_catalog_entities(catalog, mapping).count()
     return {
         "input_snapshot": snap,
         "manifests": manifests,
         "qa": qa,
+        "discarded_catalog_entities": discarded,
         "nodes": nodes,
         "edges": edges,
         "canonical_triples": canonical,

@@ -106,3 +106,88 @@ def test_build_nodes_shuffle_path_equals_broadcast(spark, catalog_df):
     ka = sorted(map(tuple, a.drop("properties").collect()))
     kb = sorted(map(tuple, b.drop("properties").collect()))
     assert ka == kb
+
+
+def test_top_level_relabel_appends_label_and_overrides_class(spark, catalog_df):
+    """P9 (ReactomeBatchImporter.java:369-374): members of the top-level
+    set get the extra label appended to their ORIGINAL ancestry and the
+    schema class overridden."""
+    from kg.materialize import TOP_LEVEL_LABEL, build_nodes
+
+    canonical = spark.createDataFrame(
+        [("c1", 0, 0, "cat:Q00000", "p", "cat:Q00004")],
+        "conv_id string, turn_idx int, span_start int, subj_id string, pred string, obj_id string",
+    )
+    mapping = spark.createDataFrame([], "node string, canonical_id string")
+    tlp = spark.createDataFrame([("cat:Q00000",)], "canonical_id string")
+    rows = {
+        r["canonical_id"]: r
+        for r in build_nodes(
+            canonical, catalog_df, mapping, top_level_ids=tlp
+        ).collect()
+    }
+    assert rows["cat:Q00000"]["schema_class"] == TOP_LEVEL_LABEL
+    assert rows["cat:Q00000"]["labels"][-1] == TOP_LEVEL_LABEL
+    # original ancestry retained ahead of the appended label
+    assert rows["cat:Q00000"]["labels"][0] != TOP_LEVEL_LABEL
+    assert rows["cat:Q00004"]["schema_class"] != TOP_LEVEL_LABEL
+
+
+def test_db_info_node_unioned(spark, catalog_df):
+    """P10 (ReactomeBatchImporter.java:195-216,383-388): one DBInfo node
+    with name/checksum/engine properties rides kg.nodes."""
+    from kg.materialize import DB_INFO_ID, build_nodes
+
+    canonical = spark.createDataFrame(
+        [("c1", 0, 0, "cat:Q00000", "p", "cat:Q00004")],
+        "conv_id string, turn_idx int, span_start int, subj_id string, pred string, obj_id string",
+    )
+    mapping = spark.createDataFrame([], "node string, canonical_id string")
+    nodes = build_nodes(
+        canonical, catalog_df, mapping, input_snapshot="xxh64:abc",
+        db_info={"name": "kg-pipeline", "checksum": "xxh64:abc", "engine": "spark-test"},
+    )
+    info = [r for r in nodes.collect() if r["canonical_id"] == DB_INFO_ID]
+    assert len(info) == 1
+    assert info[0]["labels"][0] == "DBInfo"
+    assert info[0]["schema_class"] == "DBInfo"
+    assert info[0]["properties"]["checksum"] == "xxh64:abc"
+    assert info[0]["properties"]["engine"] == "spark-test"
+
+
+def test_qa_consistency_exemption_allowlist(spark):
+    """V4 (ReactomeBatchImporter.java:1131-1132): exempted ids do not count
+    as violations for the exempted attribute only."""
+    from kg.materialize import qa_consistency
+
+    df = spark.createDataFrame(
+        [(1, "root", None, "c", "x"), (2, "n2", None, "c", "x")],
+        "node_id long, canonical_id string, display_name string, schema_class string, labels string",
+    )
+    base = {r["Attribute"]: r["violations"] for r in qa_consistency(df, "nodes").collect()}
+    assert base == {}  # display_name is REQUIRED: null is allowed
+    df2 = spark.createDataFrame(
+        [(1, None, "d", "c", "x"), (2, "n2", "d", "c", "x")],
+        "node_id long, canonical_id string, display_name string, schema_class string, labels string",
+    )
+    strict = {r["Attribute"]: r["violations"] for r in qa_consistency(df2, "nodes").collect()}
+    assert strict["canonical_id"] == 1
+    exempted = qa_consistency(
+        df2, "nodes", exemptions={"canonical_id": [1]}, id_col="node_id"
+    ).collect()
+    assert all(r["Attribute"] != "canonical_id" for r in exempted)
+
+
+def test_discarded_catalog_entities_counts_top1_losers(spark, catalog_df):
+    """D5 (ReactomeBatchImporter.java:81,615,624): non-representative rows
+    of merged components are tracked, the winner is not."""
+    from kg.materialize import discarded_catalog_entities
+
+    mapping = spark.createDataFrame(
+        [("cat:Q00000", "cat:Q00000"), ("cat:Q00001", "cat:Q00000"),
+         ("cat:Q00002", "cat:Q00000")],
+        "node string, canonical_id string",
+    )
+    d = discarded_catalog_entities(catalog_df, mapping).collect()
+    ids = {r["entity_id"] for r in d}
+    assert ids == {"cat:Q00001", "cat:Q00002"}
