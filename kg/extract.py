@@ -54,33 +54,45 @@ def _turn_mentions(text: str | None) -> list[tuple[int, str]]:
 
 def _extract_block(pdf: pd.DataFrame) -> pd.DataFrame:
     """Rows sorted by (conv_id, turn_idx), possibly many conversations →
-    raw triples.  Plain-python row loop over the whole Arrow batch: the
-    work per row is tiny, so the win is amortizing pandas overhead over
-    ~10^4-row batches instead of ~10-row conversation groups."""
+    raw triples.  Tight python row loop over numpy object arrays: the work
+    per row is tiny (≈1.3 mentions/turn), so a "vectorized" pandas
+    formulation (str.extractall + grouped cumsums for the offsets) is
+    actually ~60% SLOWER than this loop — object-dtype str ops are
+    per-row C calls plus allocation, measured 5.2s vs 3.2s per 450k turns.
+    zip over .to_numpy() avoids itertuples' per-row namedtuple cost
+    (~20%); the batch loop amortizes pandas overhead over ~10^4-row Arrow
+    batches instead of ~10-row conversation groups."""
     out: list[tuple[str, int, int, str, str, str]] = []
     cur_conv: str | None = None
     prev_last: tuple[int, int, str] | None = None  # (turn_idx, span, surface)
-    for row in pdf.itertuples(index=False):
-        if row.conv_id != cur_conv:
-            cur_conv = row.conv_id
+    finditer = MENTION_RE.finditer
+    cols = (pdf[c].to_numpy() for c in ("conv_id", "turn_idx", "role", "text", "tool"))
+    for conv_id, turn_idx, role, text, tool in zip(*cols):
+        if conv_id != cur_conv:
+            cur_conv = conv_id
             prev_last = None
-        ms = _turn_mentions(row.text)
-        # R1: consecutive co-mentions within the turn
-        for (s1, m1), (_s2, m2) in zip(ms, ms[1:]):
-            out.append((cur_conv, int(row.turn_idx), int(s1), m1, PRED_CO_OCCURS, m2))
-        # R2: cross-turn chain (previous turn's last mention → this turn's first)
-        if prev_last is not None and ms:
-            pt, ps, psurf = prev_last
-            out.append((cur_conv, pt, ps, psurf, PRED_FOLLOWED_BY, ms[0][1]))
-        # R3: tool provenance
-        if row.role == "tool" and row.tool:
-            for s, m in ms:
-                out.append(
-                    (cur_conv, int(row.turn_idx), int(s), m, PRED_PRODUCED_BY,
-                     TOOL_SURFACE_PREFIX + row.tool)
-                )
+        ms = (
+            [(m.start(), m.group(1)) for m in finditer(text) if m.group(1).strip()]
+            if text
+            else []
+        )
         if ms:
-            prev_last = (int(row.turn_idx), int(ms[-1][0]), ms[-1][1])
+            ti = int(turn_idx)
+            # R1: consecutive co-mentions within the turn
+            for (s1, m1), (_s2, m2) in zip(ms, ms[1:]):
+                out.append((cur_conv, ti, s1, m1, PRED_CO_OCCURS, m2))
+            # R2: cross-turn chain (prev turn's last mention → this turn's first)
+            if prev_last is not None:
+                pt, ps, psurf = prev_last
+                out.append((cur_conv, pt, ps, psurf, PRED_FOLLOWED_BY, ms[0][1]))
+            # R3: tool provenance
+            if role == "tool" and tool:
+                for s, m in ms:
+                    out.append(
+                        (cur_conv, ti, s, m, PRED_PRODUCED_BY,
+                         TOOL_SURFACE_PREFIX + tool)
+                    )
+            prev_last = (ti, ms[-1][0], ms[-1][1])
     return pd.DataFrame(
         out,
         columns=["conv_id", "turn_idx", "span_start", "subj_surface", "pred", "obj_surface"],

@@ -79,6 +79,18 @@ def run_pipeline(
     }
 
 
+def release_pipeline(result: dict) -> None:
+    """Unpersist the two DataFrames run_pipeline caches (raw_triples,
+    canonical_triples).  Call once downstream consumption is finished;
+    long-lived drivers that run many pipelines without releasing
+    accumulate cached blocks (the materialized runner needs no release —
+    its stages live in parquet, not the block manager)."""
+    for key in ("raw_triples", "canonical_triples"):
+        df = result.get(key)
+        if df is not None:
+            df.unpersist()
+
+
 def run_qa(nodes: DataFrame, edges: DataFrame) -> dict[str, int]:
     """V1/V2 analogs; returns violation counts (all must be 0)."""
     return {
@@ -162,4 +174,10 @@ def run_pipeline_materialized(
     }
 
 
-__all__ = ["run_pipeline", "run_pipeline_materialized", "run_qa", "STAGES"]
+__all__ = [
+    "run_pipeline",
+    "run_pipeline_materialized",
+    "release_pipeline",
+    "run_qa",
+    "STAGES",
+]

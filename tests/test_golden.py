@@ -41,3 +41,14 @@ def test_nodes_cover_edge_endpoints(spark, transcripts_df, catalog_df, alias_pai
     edges = res["edges"].select("src", "dst").collect()
     endpoints = {r["src"] for r in edges} | {r["dst"] for r in edges}
     assert endpoints <= nodes
+
+
+def test_release_pipeline_unpersists(spark, transcripts_df, catalog_df, alias_pairs_df):
+    from kg.pipeline import release_pipeline, run_pipeline
+
+    res = run_pipeline(spark, transcripts_df, catalog_df, alias_pairs_df)
+    res["edges"].count()
+    assert res["raw_triples"].storageLevel.useMemory
+    release_pipeline(res)
+    assert not res["raw_triples"].storageLevel.useMemory
+    assert not res["canonical_triples"].storageLevel.useMemory
