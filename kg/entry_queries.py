@@ -1074,6 +1074,152 @@ def p20_first_element(spark, sf_dir):
 
 
 @_q(
+    "merge_upsert_customers",
+    """
+    WITH t AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name, 'RESEGMENTED' AS c_mktsegment
+      FROM t WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 5000000, 'NEW:' || c_name, 'NEWSEG'
+      FROM t WHERE c_custkey % 100 = 0)
+    SELECT * FROM t
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL SELECT * FROM upd
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    """Iceberg MERGE INTO analog: WHEN MATCHED UPDATE * / WHEN NOT
+    MATCHED INSERT * as one anti-join + union (kg/ops/merge.py)."""
+    from kg.ops.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    upd = c.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_mktsegment", F.lit("RESEGMENTED")
+    )
+    new_rows = c.where(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 5_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW:"), "c_name").alias("c_name"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    return merge_upsert(c, upd.unionByName(new_rows), ["c_custkey"])
+
+
+@_q(
+    "scd2_customer_history",
+    """
+    WITH t AS (SELECT c_custkey, c_mktsegment FROM customer),
+    ch AS (SELECT c_custkey, 'RESEGMENTED' AS c_mktsegment
+           FROM t WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_mktsegment, '1970-01-01' AS valid_from,
+           '2024-06-01' AS valid_to, FALSE AS is_current
+    FROM t WHERE c_custkey IN (SELECT c_custkey FROM ch)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '1970-01-01', '9999-12-31', TRUE
+    FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM ch)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '2024-06-01', '9999-12-31', TRUE FROM ch
+    """,
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD2 dimension versioning (kg/ops/merge.py): one change batch over
+    an initial history — matched keys close their open version and append
+    a new one; dates emitted as strings for hash parity."""
+    import datetime as dt
+
+    from kg.ops.merge import scd2_apply, scd2_init
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = scd2_init(c)
+    ch = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("RESEGMENTED"))
+        .withColumn("change_ts", F.lit(dt.datetime(2024, 6, 1)))
+    )
+    out = scd2_apply(hist, ch, ["c_custkey"])
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+@_q(
+    "motif_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def motif_triangle_count(spark, sf_dir):
+    """Triangle count over the parts-co-ordered graph via degree-ordered
+    wedge closing (kg/ops/motif.py); the oracle counts (a<b<c) triples
+    directly — different algorithm, same answer."""
+    from kg.ops.motif import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("string").alias("src"),
+            F.col("b.l_partkey").cast("string").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+@_q(
+    "motif_two_hop_counts",
+    """
+    WITH e AS (
+      SELECT 'R:' || r_name AS src, 'N:' || n_name AS dst
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'N:' || n_name, 'S:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    hops AS (
+      SELECT DISTINCT e1.src, e2.dst
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.src <> e2.dst)
+    SELECT src, CAST(count(*) AS BIGINT) AS n_two_hop
+    FROM hops GROUP BY src
+    """,
+)
+def motif_two_hop_counts(spark, sf_dir):
+    """(a)->(b)->(c) motif counts per source (kg/ops/motif.py) over the
+    region>nation>supplier edge set."""
+    from kg.ops.motif import two_hop_counts
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    e1 = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.concat(F.lit("R:"), "r_name").alias("src"),
+        F.concat(F.lit("N:"), "n_name").alias("dst"),
+    )
+    e2 = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        F.concat(F.lit("N:"), "n_name").alias("src"),
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("dst"),
+    )
+    return two_hop_counts(e1.unionByName(e2))
+
+
+@_q(
     "j7_transitive_closure",
     """
     WITH RECURSIVE e AS (

@@ -100,9 +100,61 @@ def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))
 
 
+def write_stage_bucketed(
+    df: DataFrame,
+    out_dir: str,
+    table: str,
+    input_snapshot: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Materialize a stage as a BUCKETED external table (hash-bucketed
+    files + catalog metadata).
+
+    The scale rationale (SURVEY.md §4): two tables bucketed on the same
+    keys with the same bucket count join WITHOUT a shuffle — the scan
+    itself reports hashpartitioning(bucket_by, n_buckets), so repeated
+    downstream joins/groupBys on those keys (the norm for kg.edges on
+    src) amortize ONE write-side repartition across every future read.
+    On a real deployment this is Iceberg's bucket(N, col) partition
+    transform.  Plain write_stage is the default; use this for tables
+    consumed by many co-located joins.
+    """
+    path = os.path.join(out_dir, table)
+    t0 = time.monotonic()
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    writer = writer.sortBy(*(sort_by or bucket_by))
+    writer.format("parquet").saveAsTable(table)
+    elapsed = time.monotonic() - t0
+    spark = df.sparkSession
+    written = spark.table(table)
+    lineage = partition_lineage(written)
+    manifest = {
+        "stage": table,
+        "path": path,
+        "table": table,
+        "bucket_by": bucket_by,
+        "n_buckets": n_buckets,
+        "input_snapshot": input_snapshot,
+        "rows": int(sum(p["rows"] for p in lineage)),
+        "partitions": len(lineage),
+        "partition_lineage": lineage,
+        "wall_sec": round(elapsed, 3),
+    }
+    with open(_manifest_path(out_dir, table), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 __all__ = [
     "partition_lineage",
     "write_stage",
+    "write_stage_bucketed",
     "read_stage",
     "stage_is_complete",
 ]

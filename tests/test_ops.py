@@ -200,3 +200,63 @@ def test_embedding_near_dup_bucket_blocks_quadratic(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
     pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(e, 0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_merge_upsert_semantics(spark):
+    from kg.ops.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    )
+    got = {(r["k"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_scd2_apply_and_as_of(spark):
+    import datetime as dt
+
+    from kg.ops.merge import scd2_apply, scd2_as_of, scd2_init
+
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    hist = scd2_init(dim, dt.datetime(2020, 1, 1))
+    ch = spark.createDataFrame(
+        [(1, "x2", dt.datetime(2024, 6, 1))], "k long, v string, change_ts timestamp"
+    )
+    h2 = scd2_apply(hist, ch, ["k"])
+    rows = {(r["k"], r["v"], r["is_current"]) for r in h2.collect()}
+    assert rows == {(1, "x", False), (2, "y", True), (1, "x2", True)}
+    # closed version carries the change ts as valid_to
+    closed = [r for r in h2.collect() if r["k"] == 1 and not r["is_current"]][0]
+    assert closed["valid_to"] == dt.datetime(2024, 6, 1)
+    before = {(r["k"], r["v"]) for r in scd2_as_of(h2, dt.datetime(2022, 1, 1)).collect()}
+    after = {(r["k"], r["v"]) for r in scd2_as_of(h2, dt.datetime(2025, 1, 1)).collect()}
+    assert before == {(1, "x"), (2, "y")}
+    assert after == {(1, "x2"), (2, "y")}
+    # a second change batch stacks versions correctly
+    ch2 = spark.createDataFrame(
+        [(1, "x3", dt.datetime(2025, 6, 1))], "k long, v string, change_ts timestamp"
+    )
+    h3 = scd2_apply(h2, ch2, ["k"])
+    assert h3.where("k = 1").count() == 3
+    assert h3.where("k = 1 and is_current").count() == 1
+
+
+def test_triangle_count_hand_graph(spark):
+    from kg.ops.motif import triangle_count, two_hop_counts
+
+    # K4 minus one edge = 2 triangles; plus a pendant = still 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 2
+    # directed two-hop: a->b->c and duplicates collapse
+    d = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {(r["src"], r["n_two_hop"]) for r in two_hop_counts(d).collect()}
+    assert got == {("a", 2)}  # a->b->{c,d}; no two-hop from b
