@@ -39,6 +39,8 @@ HEADLINE_QUERIES = [
     "text_quality_score",
     "text_token_count",
     "ann_cosine_topk",
+    "asof_join_profiles",
+    "merge_upsert_customers",
 ]
 
 SF_TO_CONVS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}

@@ -1220,6 +1220,37 @@ def motif_two_hop_counts(spark, sf_dir):
 
 
 @_q(
+    "asof_join_profiles",
+    """
+    WITH r AS (SELECT user_id, ts, max(event_type) AS profile
+               FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, ts FROM events)
+    SELECT l.event_id, coalesce(r.profile, 'none') AS profile
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_profiles(spark, sf_dir):
+    """Event-time AS-OF join (kg/ops/asof.py): attach the latest profile
+    state at or before each event's ts.  Spark side is the union-carry
+    window (one shuffle, linear); the oracle is DuckDB's native ASOF
+    LEFT JOIN — two independent formulations of the same semantics."""
+    from kg.ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    right = (
+        e.where(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("profile"))
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = asof_join(left, right, by=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id", F.coalesce("profile", F.lit("none")).alias("profile")
+    )
+
+
+@_q(
     "j7_transitive_closure",
     """
     WITH RECURSIVE e AS (

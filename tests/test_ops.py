@@ -260,3 +260,31 @@ def test_triangle_count_hand_graph(spark):
     )
     got = {(r["src"], r["n_two_hop"]) for r in two_hop_counts(d).collect()}
     assert got == {("a", 2)}  # a->b->{c,d}; no two-hop from b
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive tie (right.ts == left.ts wins), carry-forward, and
+    no-preceding-row → null."""
+    import datetime as dt
+
+    from kg.ops.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u1", T("2024-01-01 10:00:00")),
+         (2, "u1", T("2024-01-01 11:00:00")),
+         (3, "u1", T("2024-01-01 12:00:00")),
+         (4, "u2", T("2024-01-01 10:30:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", T("2024-01-01 11:00:00"), "B"),   # tie with event 2 → wins
+         ("u1", T("2024-01-01 09:00:00"), "A"),
+         ("u2", T("2024-01-01 11:00:00"), "Z")],  # after u2's event → null
+        "user_id string, ts timestamp, profile string",
+    )
+    got = {
+        r["event_id"]: r["profile"]
+        for r in asof_join(left, right, by=["user_id"], ts_col="ts").collect()
+    }
+    assert got == {1: "A", 2: "B", 3: "B", 4: None}
