@@ -1074,6 +1074,80 @@ def p20_first_element(spark, sf_dir):
 
 
 @_q(
+    "a8_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a8_exact_percentiles(spark, sf_dir):
+    """Exact (interpolated) percentiles per group — JVM `percentile`, not
+    the approx sketch, so the oracle comparison is bit-stable after
+    rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@_q(
+    "a9_rollup_counts",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup_counts(spark, sf_dir):
+    """ROLLUP grouping sets (OLAP cube surface): subtotals + grand total
+    in one pass; null grouping markers coalesced identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "a10_pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_P
+    FROM orders GROUP BY 1
+    """,
+)
+def a10_pivot_status_counts(spark, sf_dir):
+    """Pivot with an explicit value list (the scale-safe form — an
+    unlisted pivot runs a distinct-scan first); oracle uses FILTER
+    aggregates, the relational equivalent."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"st_{s}")
+          for s in ("F", "O", "P")],
+    )
+
+
+@_q(
     "merge_upsert_customers",
     """
     WITH t AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
