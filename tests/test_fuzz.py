@@ -54,3 +54,46 @@ def test_extractor_matches_oracle(pdf, rnd):
     a = sorted(map(tuple, got[key].values.tolist()))
     b = sorted(map(tuple, exp[key].values.tolist()))
     assert a == b
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """kg.ops.asof.asof_join vs pandas.merge_asof (independent
+    implementation): 60 random users with duplicate/tied timestamps on
+    both sides, one Spark call, compared row-for-row."""
+    import numpy as np
+
+    from kg.ops.asof import asof_join
+
+    rng = np.random.RandomState(1234)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    eid = 0
+    for u in range(60):
+        uid = f"u{u:03d}"
+        for _ in range(int(rng.randint(1, 12))):
+            lrows.append((eid, uid, base + pd.Timedelta(seconds=int(rng.randint(0, 500)))))
+            eid += 1
+        for _ in range(int(rng.randint(0, 6))):
+            rrows.append((uid, base + pd.Timedelta(seconds=int(rng.randint(0, 500))),
+                          f"p{int(rng.randint(0, 9))}"))
+    left = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"])
+    right = (
+        pd.DataFrame(rrows, columns=["user_id", "ts", "profile"])
+        .groupby(["user_id", "ts"], as_index=False)["profile"].max()
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {
+        r["event_id"]: r["profile"]
+        for r in asof_join(sl, sr, by=["user_id"], ts_col="ts").collect()
+    }
+    exp_df = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward", allow_exact_matches=True,
+    )
+    exp = {
+        int(r.event_id): (None if pd.isna(r.profile) else r.profile)
+        for r in exp_df.itertuples(index=False)
+    }
+    assert got == exp
