@@ -6,11 +6,11 @@ entry(spark)   — flagship: full four-stage KG pipeline (extract → link →
                  shape), returning the materialized edge table.
 queries()      — one entry per implemented operator from SURVEY.md §2
                  (+ training-data ops), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching DuckDB SQL with identical column aliases;
-                 omitted for non-SQL-expressible ops (KG pipeline stages),
-                 which get the driver's rows-only check — their strong
-                 correctness gate is tests/test_golden.py (pure-Python
-                 oracle, P=R=1.0 required).
+oracle_sql()   — matching DuckDB SQL with identical column aliases.
+                 EVERY entry has an oracle, including the KG pipeline
+                 stages (transliterated below to recursive-CTE SQL); the
+                 stages additionally carry the pure-Python golden gate
+                 (tests/test_golden.py, P=R=1.0 required).
 """
 
 from __future__ import annotations
@@ -83,8 +83,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --- KG pipeline stages as oracle-checked queries ------------------------
-# The Spark side runs the real pipeline operators (pandas-UDF extraction,
-# broadcast linking, iterative CC); the DuckDB oracle below transliterates
+# The Spark side runs the real pipeline operators (pure-JVM extraction by
+# default, pandas-UDF variant kept as the §2.10 demo, broadcast linking,
+# iterative CC); the DuckDB oracle below transliterates
 # the SEMANTICS (extraction rules R1-R3 incl. char spans, normalized-alias
 # linking with deterministic minting, recursive-CTE connected components,
 # and the stoichiometry/order edge aggregation) into pure SQL over the
@@ -96,6 +97,24 @@ def _kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr, _, _ = _load_fixtures(spark)
     return extract_triples(tr).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("span_start").cast("long").alias("span_start"),
+        "subj_surface",
+        "pred",
+        "obj_surface",
+    )
+
+
+def _kg_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDF-surface row: the mapInPandas implementation, checked
+    against the same oracle as the default pure-JVM path."""
+    from pyspark.sql import functions as F
+
+    from kg.extract import extract_triples_pandas
+
+    tr, _, _ = _load_fixtures(spark)
+    return extract_triples_pandas(tr).select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
         F.col("span_start").cast("long").alias("span_start"),
@@ -164,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(
         {
             "kg_extract_triples": _kg_extract,
+            "kg_extract_triples_pandas": _kg_extract_pandas,
             "kg_linked_triples": _kg_linked,
             "kg_connected_components": _kg_components,
             "kg_edges": _kg_edges,
@@ -228,7 +248,9 @@ def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
       SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, span_start,
              surface AS subj_surface, 'produced_by' AS pred,
              'tool::' || tool AS obj_surface
-      FROM mentions WHERE role = 'tool' AND tool IS NOT NULL),
+      -- tool <> '' matches the Spark rule exactly (empty-string tool is
+      -- falsy there); IS NOT NULL alone was a latent divergence (ADVICE r2)
+      FROM mentions WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''),
     raw_triples AS (
       SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
     """
@@ -362,6 +384,9 @@ def _kg_oracle_sql() -> dict[str, str]:
     frags = _kg_sql_fragments(_fixture_paths())
     return {
         "kg_extract_triples": f"WITH {frags['extract']} SELECT * FROM raw_triples",
+        "kg_extract_triples_pandas": (
+            f"WITH {frags['extract']} SELECT * FROM raw_triples"
+        ),
         "kg_linked_triples": (
             f"WITH {frags['extract']}, {frags['link']} SELECT * FROM linked"
         ),

@@ -28,8 +28,9 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kg.schema import MENTIONS_SCHEMA, RAW_TRIPLES_SCHEMA
 
@@ -126,7 +127,157 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _extract_block(carry)
 
 
-def extract_triples(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_triples(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    impl: str | None = None,
+) -> DataFrame:
+    """transcripts → raw triples (dispatcher).
+
+    Two implementations with identical semantics (equivalence asserted by
+    tests/test_extract.py::test_sql_equals_pandas on the synth corpus plus
+    adversarial strings):
+
+    - ``sql`` (default): pure JVM built-ins — regexp_extract_all +
+      split-parts cumsum for spans, one window for the cross-turn rule,
+      one explode.  Whole-stage codegen end to end; no Python worker, so
+      each task is ONE runnable thread (the pandas path keeps two: python
+      worker + JVM Arrow feeder), which is what capped measured scaling
+      at 8→32 cores on a single host (BENCH/BASELINE.md round 2).
+    - ``pandas``: the mapInPandas path (kept as the §2.10 UDF-surface
+      demo and for the stateful-streaming variant that shares its core).
+
+    Select via ``impl=`` or ``spark.kg.extract.impl`` (default ``sql``).
+    """
+    if impl is None:
+        impl = transcripts.sparkSession.conf.get("spark.kg.extract.impl", "sql")
+    if impl == "pandas":
+        return extract_triples_pandas(transcripts, num_partitions)
+    if impl != "sql":
+        raise ValueError(f"unknown extract impl {impl!r} (want 'sql' or 'pandas')")
+    return extract_triples_sql(transcripts)
+
+
+def _prefix_len(arr: Column, n: Column) -> Column:
+    """Sum of the first ``n`` elements of an int array (0 when n <= 0)."""
+    return F.coalesce(
+        F.aggregate(F.slice(arr, F.lit(1), F.greatest(n, F.lit(0))),
+                    F.lit(0), lambda a, x: a + x),
+        F.lit(0),
+    )
+
+
+def extract_triples_sql(transcripts: DataFrame) -> DataFrame:
+    """Pure-JVM extraction: the same rules R1-R3 (incl. char spans) as the
+    pandas path, expressed entirely in Catalyst built-ins.
+
+    Plan shape: one scan → per-turn mention array (no explode yet) → ONE
+    shuffle (window on conv_id, ordered by turn_idx, for the R2 lag) →
+    concat the three rule outputs into one array per turn → one explode.
+    R1/R3 never leave the row; only R2 needs cross-row context.  At 10^12
+    turns this is a single exchange on a high-cardinality key + codegen.
+
+    Span arithmetic (validated against re.finditer by the round-2 DuckDB
+    oracle, __spark_entry__.py `mentions` CTE): for 1-based mention k,
+    span = Σ len(parts[1..k]) + Σ len(surfs[1..k-1]) + 4·(k-1), where
+    parts = text split on the mention pattern and 4 = len('[[' + ']]').
+    Blank surfaces are dropped AFTER span computation (offsets count
+    them), matching MENTION_RE.finditer + the strip() filter.
+    """
+    pat = r"\[\[(.*?)\]\]"
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
+        F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
+    )
+    # materialize the length arrays BEFORE the per-mention expressions:
+    # Catalyst does not CSE inside higher-order functions, so slicing a
+    # transform(...) expression would recompute it per mention.
+    t = t.select(
+        "conv_id", "turn_idx", "role", "tool", "_surfs",
+        F.transform("_parts", F.length).alias("_plen"),
+        F.transform("_surfs", F.length).alias("_slen"),
+    )
+    ments = F.filter(
+        F.transform(
+            "_surfs",
+            # NB lambda arg 2 IS the 0-based index (Spark transform contract)
+            lambda s, i: F.struct(
+                (
+                    _prefix_len(F.col("_plen"), i + F.lit(1))
+                    + _prefix_len(F.col("_slen"), i)
+                    + i * F.lit(4)
+                ).cast("int").alias("span"),
+                s.alias("surface"),
+            ),
+        ),
+        lambda m: F.trim(m["surface"]) != "",
+    )
+    t = (
+        t.select("conv_id", "turn_idx", "role", "tool", ments.alias("_ments"))
+        .where(F.size("_ments") > 0)
+    )
+    # R2 context: previous mention-bearing turn's (turn_idx, last mention)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = t.withColumn(
+        "_prev",
+        F.lag(F.struct(F.col("turn_idx"), F.element_at("_ments", -1).alias("m"))).over(w),
+    )
+
+    def _triple(ti: Column, span: Column, subj: Column, pred: str, obj: Column) -> Column:
+        return F.struct(
+            ti.cast("int").alias("turn_idx"),
+            span.cast("int").alias("span_start"),
+            subj.alias("subj_surface"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj_surface"),
+        )
+
+    n = F.size("_ments")
+    r1 = F.transform(
+        F.slice("_ments", F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda m, i: _triple(
+            F.col("turn_idx"), m["span"], m["surface"], PRED_CO_OCCURS,
+            F.element_at(F.col("_ments"), i + F.lit(2))["surface"],
+        ),
+    )
+    prev = F.col("_prev")
+    r2_one = _triple(
+        prev["turn_idx"], prev["m"]["span"], prev["m"]["surface"],
+        PRED_FOLLOWED_BY, F.element_at("_ments", 1)["surface"],
+    )
+    # typed empty array (can't infer the struct type from a bare F.array())
+    empty = F.slice(r1, F.lit(1), F.lit(0))
+    r2 = F.when(prev.isNotNull(), F.array(r2_one)).otherwise(empty)
+    is_tool = (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
+    r3 = F.when(
+        is_tool,
+        F.transform(
+            "_ments",
+            lambda m: _triple(
+                F.col("turn_idx"), m["span"], m["surface"], PRED_PRODUCED_BY,
+                F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool")),
+            ),
+        ),
+    ).otherwise(empty)
+    out = t.select(
+        "conv_id", F.explode(F.concat(r1, r2, r3)).alias("_t")
+    )
+    return out.select(
+        "conv_id",
+        F.col("_t.turn_idx").alias("turn_idx"),
+        F.col("_t.span_start").alias("span_start"),
+        F.col("_t.subj_surface").alias("subj_surface"),
+        F.col("_t.pred").alias("pred"),
+        F.col("_t.obj_surface").alias("obj_surface"),
+    )
+
+
+def extract_triples_pandas(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """transcripts → raw triples over surface forms (Arrow-vectorized).
 
     One hash shuffle on conv_id co-locates each conversation, sorted by
@@ -193,6 +344,8 @@ def round_trip_text(transcripts: DataFrame) -> DataFrame:
 
 __all__ = [
     "extract_triples",
+    "extract_triples_sql",
+    "extract_triples_pandas",
     "extract_mentions",
     "extract_conversation",
     "round_trip_text",

@@ -70,6 +70,74 @@ def test_per_turn_text_equality_invariant(spark, transcripts_df, transcripts_pdf
     assert back["turn_idx"].tolist() == orig["turn_idx"].tolist()
 
 
+NASTY_TURNS = [
+    # (conv_id, turn_idx, role, text, tool)
+    ("n1", 0, "user", None, None),                      # null text
+    ("n1", 1, "user", "", None),                        # empty text
+    ("n1", 2, "user", "[[]] and [[   ]] only blanks", None),
+    ("n1", 3, "user", "[[a]][[b]][[c]] adjacent", None),
+    ("n1", 4, "tool", "[[x]] empty-string tool", ""),   # R3 must NOT fire
+    ("n1", 5, "tool", "[[y]] null tool", None),         # R3 must NOT fire
+    ("n1", 6, "tool", "[[z]] real tool", "calc"),       # R3 fires
+    ("n1", 7, "user", "x[[a[[b]]y]] nested open", None),
+    ("n1", 8, "user", "]] stray [[q]] closers [[", None),
+    ("n1", 9, "user", "[[α βγ]] unicode [[δ]]", None),
+    ("n1", 10, "user", "[[a\nb]] dot excludes newline [[ok]]", None),
+    ("n2", 5, "user", "late start [[first]]", None),    # conv starts mid-index
+    ("n2", 9, "user", "gap then [[second]] [[third]]", None),
+    ("n3", 0, "user", "[[solo]]", None),                # single-mention conv
+]
+
+
+def _nasty_df(spark):
+    pdf = pd.DataFrame(
+        NASTY_TURNS, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    ).assign(ts=dt.datetime(2025, 1, 1))
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+def test_sql_equals_pandas_adversarial(spark):
+    """The pure-JVM path must agree with the pandas path on blank
+    surfaces, empty/null tool, nested/stray brackets, unicode, newlines,
+    turn-index gaps — byte-for-byte including char spans."""
+    from kg.extract import extract_triples_pandas, extract_triples_sql
+
+    df = _nasty_df(spark)
+    cols = ["conv_id", "turn_idx", "span_start", "subj_surface", "pred", "obj_surface"]
+    got_sql = sorted(map(tuple, extract_triples_sql(df).select(*cols).collect()))
+    got_pd = sorted(map(tuple, extract_triples_pandas(df).select(*cols).collect()))
+    assert got_sql == got_pd
+    trip = {(s, p, o) for (_, _, _, s, p, o) in got_sql}
+    assert ("z", "produced_by", "tool::calc") in trip
+    assert not any(p == "produced_by" and s in ("x", "y") for s, p, _o in trip)
+    # spans: regex is non-greedy and '.' excludes newline
+    assert ("a[[b", "co_occurs_with", "q") not in trip  # different turns
+    assert ("first", "followed_by", "second") in trip
+
+
+def test_sql_equals_pandas_on_corpus(spark, transcripts_df):
+    """Full-corpus equivalence of the two extraction implementations."""
+    from kg.extract import extract_triples_pandas, extract_triples_sql
+
+    cols = ["conv_id", "turn_idx", "span_start", "subj_surface", "pred", "obj_surface"]
+    a = sorted(map(tuple, extract_triples_sql(transcripts_df).select(*cols).collect()))
+    b = sorted(map(tuple, extract_triples_pandas(transcripts_df).select(*cols).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_sql_path_is_pure_jvm_one_exchange(spark):
+    """Plan shape: no Python evaluation node anywhere, exactly one shuffle
+    (the conv_id window for rule R2)."""
+    from kg.extract import extract_triples_sql
+
+    df = extract_triples_sql(_nasty_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_mentions_builtin_matches_udf(spark, transcripts_df, transcripts_pdf):
     """extract_mentions (pure built-ins) agrees with the regex rules."""
     got = extract_mentions(transcripts_df).count()
