@@ -120,8 +120,19 @@ def write_stage_bucketed(
     On a real deployment this is Iceberg's bucket(N, col) partition
     transform.  Plain write_stage is the default; use this for tables
     consumed by many co-located joins.
+
+    The catalog entry is namespaced by a short hash of out_dir: two runs
+    with different out_dirs (or concurrent pipelines sharing a metastore)
+    would otherwise clobber each other's bare-named table — the overwrite
+    repoints the catalog at the new path while the old run's manifest
+    still claims its stage complete.  The manifest records the qualified
+    name; read back via spark.table(manifest["table"]).
     """
+    import hashlib
+
     path = os.path.join(out_dir, table)
+    ns = hashlib.sha1(os.path.abspath(out_dir).encode()).hexdigest()[:8]
+    qualified = f"{table}_{ns}"
     t0 = time.monotonic()
     writer = (
         df.write.mode("overwrite")
@@ -129,15 +140,15 @@ def write_stage_bucketed(
         .bucketBy(n_buckets, *bucket_by)
     )
     writer = writer.sortBy(*(sort_by or bucket_by))
-    writer.format("parquet").saveAsTable(table)
+    writer.format("parquet").saveAsTable(qualified)
     elapsed = time.monotonic() - t0
     spark = df.sparkSession
-    written = spark.table(table)
+    written = spark.table(qualified)
     lineage = partition_lineage(written)
     manifest = {
         "stage": table,
         "path": path,
-        "table": table,
+        "table": qualified,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
         "input_snapshot": input_snapshot,

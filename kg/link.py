@@ -68,17 +68,32 @@ def _mint(key_col: Column, catalog_id: Column) -> Column:
     )
 
 
-def link_surfaces(surfaces: DataFrame, catalog: DataFrame, surface_col: str = "surface") -> DataFrame:
+def link_surfaces(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    surface_col: str = "surface",
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
     """Probe (J3): map each distinct surface to an entity_id.
 
     Returns (surface, blocking_key, entity_id, is_minted).  Linking on the
     *distinct* surfaces (tiny vs. the triple stream) then rejoining keeps
     the expensive work proportional to vocabulary, not corpus, size.
+
+    The index broadcast is size-gated on the exploded alias count (a cheap
+    scan that upper-bounds the index rows); an over-threshold catalog falls
+    back to a shuffle join — or use link_surfaces_salted when the hot-key
+    skew of a shuffle join is the concern.
     """
+    from kg.canonicalize import _fits_broadcast
+
     index = build_link_index(catalog)
+    aliases = catalog.select(F.explode("aliases").alias("a"))
+    if _fits_broadcast(aliases, broadcast_threshold):
+        index = F.broadcast(index)
     probe = surfaces.select(F.col(surface_col).alias("surface")).distinct()
     probe = probe.withColumn("blocking_key", norm_key(F.col("surface")))
-    joined = probe.join(F.broadcast(index), "blocking_key", "left")
+    joined = probe.join(index, "blocking_key", "left")
     return joined.select(
         "surface",
         "blocking_key",
@@ -87,36 +102,54 @@ def link_surfaces(surfaces: DataFrame, catalog: DataFrame, surface_col: str = "s
     )
 
 
-def link_triples(raw_triples: DataFrame, catalog: DataFrame) -> DataFrame:
+def link_triples(
+    raw_triples: DataFrame,
+    catalog: DataFrame,
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
     """Rewrite raw surface triples to entity-id triples.
 
-    Two broadcast joins against the (surface → entity_id) map — the map is
-    derived from the distinct surfaces of the triple stream itself, which
-    at transcript scale is vocabulary-sized (≪ broadcast threshold for
-    realistic catalogs; if not, swap in link_surfaces_salted).
+    The (surface → entity_id) map is derived from the distinct surfaces of
+    the triple stream itself — usually vocabulary-sized, but a high-
+    surface-cardinality corpus (code snippets, ids) is not a dimension.
+    Both its broadcasts are size-gated on the map's own row count; above
+    the gate the map is built by the salted shuffle path and joined to the
+    triples as plain shuffle joins (AQE skew-splits hot surfaces).
     """
+    from kg.canonicalize import _fits_broadcast
+
     surf = (
         raw_triples.select(F.col("subj_surface").alias("surface"))
         .unionByName(raw_triples.select(F.col("obj_surface").alias("surface")))
     )
-    # persist + EAGER fill: the map feeds TWO broadcast exchanges (subj +
-    # obj) whose plans differ by rename, so ReuseExchange can't kick in;
-    # worse, broadcast exchanges materialize on CONCURRENT driver threads,
-    # so a lazy persist lets both race and compute the vocabulary distinct
-    # (and the upstream extraction UDF) simultaneously — observed as 3×
+    vocab_small = _fits_broadcast(surf.distinct(), broadcast_threshold)
+    mapped = (
+        link_surfaces(surf, catalog, broadcast_threshold=broadcast_threshold)
+        if vocab_small
+        else link_surfaces_salted(surf, catalog)
+    )
+    # persist + EAGER fill: the map feeds TWO exchanges (subj + obj) whose
+    # plans differ by rename, so ReuseExchange can't kick in; worse,
+    # broadcast exchanges materialize on CONCURRENT driver threads, so a
+    # lazy persist lets both race and compute the vocabulary distinct
+    # (and the upstream extraction) simultaneously — observed as 3×
     # duplicated extraction stages in the event log.  One count() forces a
-    # single computation; both broadcasts then read the cache.
-    smap = link_surfaces(surf, catalog).select("surface", "entity_id").persist()
+    # single computation; both joins then read the cache.
+    smap = mapped.select("surface", "entity_id").persist()
     smap.count()
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if vocab_small else df
+
     return (
         raw_triples.join(
-            F.broadcast(smap.withColumnRenamed("surface", "subj_surface")
-                        .withColumnRenamed("entity_id", "subj_id")),
+            _side(smap.withColumnRenamed("surface", "subj_surface")
+                  .withColumnRenamed("entity_id", "subj_id")),
             "subj_surface",
         )
         .join(
-            F.broadcast(smap.withColumnRenamed("surface", "obj_surface")
-                        .withColumnRenamed("entity_id", "obj_id")),
+            _side(smap.withColumnRenamed("surface", "obj_surface")
+                  .withColumnRenamed("entity_id", "obj_id")),
             "obj_surface",
         )
         .select("conv_id", "turn_idx", "span_start", "subj_id", "pred", "obj_id")

@@ -130,10 +130,12 @@ def build_nodes(
     analog, ReactomeBatchImporter.java:836-868); node_id is the
     deterministic xxhash64 of canonical_id (SURVEY.md §1.4 visited-map row).
 
-    The catalog and CC mapping are usually dimensions, but neither is
-    guaranteed to be: both broadcasts are size-gated (row-count probe vs
-    spark.kg.broadcastRowThreshold); above the gate they fall back to
-    shuffle joins, which AQE skew-splits if the keys are hot.
+    The catalog, the CC mapping, and the top-level flag set are usually
+    dimensions, but none is guaranteed to be: all three joins are
+    size-gated (row-count probe vs spark.kg.broadcastRowThreshold); above
+    the gate they fall back to shuffle joins, which AQE skew-splits if
+    the keys are hot.  Only the constant entity-type→labels map is
+    broadcast unconditionally (fixed, ~5 rows).
     """
     from kg.canonicalize import _fits_broadcast
 
@@ -207,8 +209,12 @@ def build_nodes(
         flags = top_level_ids.select("canonical_id").distinct().withColumn(
             "_is_tlp", F.lit(True)
         )
+        # gate like the others: the flag set derives from the CC mapping
+        # (≤ one row per component), so the mapping probe is a cheap
+        # conservative bound — at 10^9 alias nodes this falls back to a
+        # shuffle join instead of OOMing the driver on the broadcast.
         n = (
-            n.join(F.broadcast(flags), "canonical_id", "left")
+            n.join(_maybe_bcast(flags, _map_small), "canonical_id", "left")
             .withColumn(
                 "labels",
                 F.when(

@@ -7,7 +7,9 @@ Spark has no ASOF JOIN operator; the scalable formulation is the
 union-and-carry trick, NOT a range join:
 
     tag left/right → union on (by, ts) → one window per `by` ordered by
-    (ts, tag) carrying last_value(right attrs, ignoreNulls) → keep left
+    (ts, tag) carrying last(right-row STRUCT, ignoreNulls) → keep left
+    (one struct per right row, so null right attributes stay null and all
+    attributes come from the same right row)
 
 Cost: ONE shuffle on `by` + one sort — same plan shape as any windowed
 aggregation, no O(|L|·|R|) candidate pairs, no per-key skew beyond what
@@ -37,17 +39,26 @@ def asof_join(
     the greatest right.ts <= left.ts within the same `by` keys (nulls
     where no right row precedes).  Right attribute columns must not
     collide with left's (rename before calling)."""
+    from pyspark.sql import types as T
+
     val_cols = [c for c in right.columns if c not in (*by, ts_col)]
+    # carry ONE struct of all right value columns, not each column
+    # independently: per-column last(ignorenulls) would resurrect a stale
+    # value when a right row's attribute is genuinely NULL (and could mix
+    # attributes from different right rows).  The struct is non-null for
+    # every right row, so the carry picks whole rows — row-level ASOF
+    # semantics matching pandas merge_asof / DuckDB even with null attrs.
+    rv_type = T.StructType([right.schema[c] for c in val_cols])
     lt = left.select(
         *left.columns, F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in val_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     rt = right.select(
         *by, F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (*by, ts_col)],
         F.lit(0).alias("_side"),
-        *val_cols,
+        F.struct(*[F.col(c).alias(c) for c in val_cols]).alias("_rv"),
     ).select(*lt.columns)  # align column order for the union
     u = lt.unionByName(rt)
     w = (
@@ -55,11 +66,11 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        *[c for c in u.columns if c not in val_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+    carried = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    return carried.where(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("_rv")[c].alias(c) for c in val_cols],
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
 
 
 __all__ = ["asof_join"]

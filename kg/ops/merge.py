@@ -74,8 +74,22 @@ def scd2_apply(
     appended; closed history rows and unchanged keys pass through
     untouched.  One join on the keys against the current slice + unions —
     history is never rewritten row-by-row.
+
+    A batch may carry several change rows for one key; only the LATEST
+    (max change ts, deterministic value tiebreak) is applied, as real
+    SCD2 loaders do — applying each would close the single open version
+    once per change row (duplicate closed versions) and append multiple
+    open versions.  Intermediate same-batch states are NOT historized;
+    feed changes in separate batches if every state must be kept.
     """
+    from pyspark.sql.window import Window
+
     ch = changes.withColumnRenamed(change_ts_col, "_ts")
+    val_cols = [c for c in ch.columns if c not in (*keys, "_ts")]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_ts").desc(), *[F.col(c).desc() for c in val_cols]
+    )
+    ch = ch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     current = history.where(F.col("is_current"))
     closed = history.where(~F.col("is_current"))
 

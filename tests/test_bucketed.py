@@ -1,6 +1,7 @@
 """Bucketed stage writes: co-located joins read pre-hashed files and skip
 the shuffle entirely (SURVEY.md §4 scale path; Iceberg bucket(N, col)
-analog)."""
+analog).  Catalog entries are namespaced per out_dir so concurrent
+pipelines sharing a metastore can't clobber each other."""
 
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("kgtest_bx_a").join(spark.table("kgtest_bx_b"), "src")
+        joined = spark.table(ma["table"]).join(spark.table(mb["table"]), "src")
         n = joined.count()
         plan = joined._jdf.queryExecution().executedPlan().toString()
         # both sides are bucket scans: SortMergeJoin with ZERO exchanges
@@ -32,8 +33,8 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert n == a.join(b, "src").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS kgtest_bx_a")
-        spark.sql("DROP TABLE IF EXISTS kgtest_bx_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ma['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {mb['table']}")
 
 
 def test_bucketed_manifest_and_resume_marker(spark, tmp_path):
@@ -46,4 +47,22 @@ def test_bucketed_manifest_and_resume_marker(spark, tmp_path):
         assert stage_is_complete(str(tmp_path), "kgtest_bx_c", "snapX")
         assert not stage_is_complete(str(tmp_path), "kgtest_bx_c", "snapY")
     finally:
-        spark.sql("DROP TABLE IF EXISTS kgtest_bx_c")
+        spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+
+
+def test_bucketed_two_out_dirs_dont_clobber(spark, tmp_path):
+    """Same stage name into two out_dirs → two distinct catalog entries,
+    each still readable with its own data (the un-namespaced version
+    repointed one shared entry and silently dropped the first table)."""
+    d1, d2 = tmp_path / "run1", tmp_path / "run2"
+    a = spark.createDataFrame(pd.DataFrame({"src": ["a"], "v": [1]}))
+    b = spark.createDataFrame(pd.DataFrame({"src": ["b", "c"], "v": [2, 3]}))
+    m1 = write_stage_bucketed(a, str(d1), "kgtest_bx_ns", "s1", ["src"], 2)
+    m2 = write_stage_bucketed(b, str(d2), "kgtest_bx_ns", "s2", ["src"], 2)
+    try:
+        assert m1["table"] != m2["table"]
+        assert spark.table(m1["table"]).count() == 1
+        assert spark.table(m2["table"]).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {m1['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")

@@ -74,17 +74,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             lrows.append((eid, uid, base + pd.Timedelta(seconds=int(rng.randint(0, 500)))))
             eid += 1
         for _ in range(int(rng.randint(0, 6))):
+            # TWO value columns, each independently nullable: a null
+            # attribute on the matched right row must come through as
+            # null (not a stale older value), and both attributes must
+            # come from the SAME right row — the row-level ASOF contract.
+            profile = None if rng.rand() < 0.3 else f"p{int(rng.randint(0, 9))}"
+            score = None if rng.rand() < 0.3 else float(rng.randint(0, 100))
             rrows.append((uid, base + pd.Timedelta(seconds=int(rng.randint(0, 500))),
-                          f"p{int(rng.randint(0, 9))}"))
+                          profile, score))
     left = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"])
     right = (
-        pd.DataFrame(rrows, columns=["user_id", "ts", "profile"])
-        .groupby(["user_id", "ts"], as_index=False)["profile"].max()
+        pd.DataFrame(rrows, columns=["user_id", "ts", "profile", "score"])
+        .drop_duplicates(["user_id", "ts"], keep="first")  # unique per (by, ts)
     )
     sl = spark.createDataFrame(left)
-    sr = spark.createDataFrame(right)
+    sr = spark.createDataFrame(
+        right, "user_id string, ts timestamp, profile string, score double"
+    )
     got = {
-        r["event_id"]: r["profile"]
+        r["event_id"]: (r["profile"],
+                        None if r["score"] is None else float(r["score"]))
         for r in asof_join(sl, sr, by=["user_id"], ts_col="ts").collect()
     }
     exp_df = pd.merge_asof(
@@ -93,7 +102,8 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         on="ts", by="user_id", direction="backward", allow_exact_matches=True,
     )
     exp = {
-        int(r.event_id): (None if pd.isna(r.profile) else r.profile)
+        int(r.event_id): (None if pd.isna(r.profile) else r.profile,
+                          None if pd.isna(r.score) else float(r.score))
         for r in exp_df.itertuples(index=False)
     }
     assert got == exp

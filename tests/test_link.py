@@ -49,6 +49,28 @@ def test_hit_links_to_catalog(spark, catalog_df, catalog_pdf):
     assert not row["is_minted"]
 
 
+def test_link_triples_gate_over_threshold(spark, catalog_df, transcripts_df):
+    """Size gate on the surface map: broadcast_threshold=1 forces the
+    salted-build + shuffle-join path; output identical to the broadcast
+    default, and the forced plan contains no kg-issued broadcast of the
+    map (mirror of test_canonicalize's apply_canonical_map gate test)."""
+    from kg.extract import extract_triples
+    from kg.link import link_triples
+
+    raw = extract_triples(transcripts_df).persist()
+    raw.count()
+    cols = ["conv_id", "turn_idx", "span_start", "subj_id", "pred", "obj_id"]
+    bcast = link_triples(raw, catalog_df)
+    forced = link_triples(raw, catalog_df, broadcast_threshold=1)
+    assert sorted(map(tuple, bcast.select(*cols).collect())) == sorted(
+        map(tuple, forced.select(*cols).collect())
+    )
+    # the gate must strip the broadcast hint from the logical plan
+    logical = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    raw.unpersist()
+
+
 def test_salted_equals_broadcast(spark, catalog_df, transcripts_df):
     """north_rule skew path: salted shuffle join ≡ broadcast join."""
     from kg.extract import extract_mentions

@@ -244,6 +244,32 @@ def test_scd2_apply_and_as_of(spark):
     assert h3.where("k = 1 and is_current").count() == 1
 
 
+def test_scd2_apply_multi_change_batch(spark):
+    """Two change rows for one key in a single batch: only the latest is
+    applied (one closed + one open version — never duplicate closed
+    versions or two is_current rows)."""
+    import datetime as dt
+
+    from kg.ops.merge import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    hist = scd2_init(dim, dt.datetime(2020, 1, 1))
+    ch = spark.createDataFrame(
+        [(1, "mid", dt.datetime(2024, 1, 1)), (1, "late", dt.datetime(2024, 6, 1))],
+        "k long, v string, change_ts timestamp",
+    )
+    h2 = scd2_apply(hist, ch, ["k"])
+    rows = sorted(
+        (r["v"], r["is_current"], r["valid_to"]) for r in h2.collect()
+    )
+    assert h2.count() == 2
+    assert rows == [
+        ("late", True, dt.datetime(9999, 12, 31)),
+        ("x", False, dt.datetime(2024, 6, 1)),
+    ]
+    assert h2.where("is_current").count() == 1
+
+
 def test_triangle_count_hand_graph(spark):
     from kg.ops.motif import triangle_count, two_hop_counts
 
