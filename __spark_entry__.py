@@ -317,13 +317,19 @@ def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
                                 ORDER BY conv_id, turn_idx, span_start) AS rn
       FROM occ),
     firsts AS (SELECT * FROM grp WHERE rn = 1),
+    -- provenance wiring (TrackingObjects analog): Person -author->
+    -- InstanceEdit -created-> DBInfo, stoichiometry = order = 1
     edges AS (
       SELECT src, dst, rel_type, CAST(stoich AS BIGINT) AS stoichiometry,
              CAST(row_number() OVER (PARTITION BY src, rel_type
                   ORDER BY conv_id, turn_idx, span_start, dst) AS BIGINT)
                AS "order",
              conv_id
-      FROM firsts)
+      FROM firsts
+      UNION ALL SELECT 'person:kg-importer', 'edit:kg-pipeline', 'author',
+                       1, 1, NULL
+      UNION ALL SELECT 'edit:kg-pipeline', 'dbinfo:kg-pipeline', 'created',
+                       1, 1, NULL)
     """
     # Stage 4b: node table (representative catalog row per component +
     # class->label-ancestry map, mirroring kg/schema.py ENTITY_TYPE_LABELS)
@@ -372,7 +378,13 @@ def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
                AS schema_class
       FROM n1
       UNION ALL
-      SELECT 'dbinfo:kg-pipeline', 'DBInfo|Entity', 'kg-pipeline', 'DBInfo')
+      SELECT 'dbinfo:kg-pipeline', 'DBInfo|Entity', 'kg-pipeline', 'DBInfo'
+      UNION ALL
+      SELECT 'person:kg-importer', 'Person|Agent|Entity', 'kg-importer',
+             'person'
+      UNION ALL
+      SELECT 'edit:kg-pipeline', 'InstanceEdit|Entity',
+             'kg-importer, 2025-03-01 00:00:00', 'InstanceEdit')
     """
     return {
         "extract": extract, "link": link, "cc": cc,

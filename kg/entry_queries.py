@@ -814,16 +814,16 @@ def _ann_lsh_topk(spark, sf_dir):
 
     return lsh_topk(_t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10)
 
+# derived from the SAME marker table the Spark operator uses — the oracle
+# and the engine cannot drift (the fiction of round-2's placeholder sets
+# is gone: these are genuine en/de/es stopwords, see kg/ops/text.py)
+from kg.ops.text import LANG_MARKERS as _LANG_MARKERS
+
 _LANG_SCORE_SQL = {
-    "en": "len(regexp_extract_all(lower(text), '\\bthe\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\ba\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\bof\\b'))",
-    "de": "len(regexp_extract_all(lower(text), '\\bdata\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\btable\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\brow\\b'))",
-    "es": "len(regexp_extract_all(lower(text), '\\bspark\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\bquery\\b')) + "
-          "len(regexp_extract_all(lower(text), '\\bjoin\\b'))",
+    lang: " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{m}\\b'))" for m in ms
+    )
+    for lang, ms in _LANG_MARKERS.items()
 }
 
 

@@ -243,6 +243,7 @@ def build_nodes(
     )
     if db_info is not None:
         out = out.unionByName(db_info_node(spark, input_snapshot, db_info))
+        out = out.unionByName(provenance_nodes(spark, input_snapshot))
     return out
 
 
@@ -270,6 +271,61 @@ def db_info_node(
         F.lit(input_snapshot).cast("string").alias("input_snapshot"),
     )
     return row
+
+
+PERSON_ID = "person:kg-importer"
+INSTANCE_EDIT_ID = "edit:kg-pipeline"
+PROVENANCE_STAGE = "provenance"
+
+
+def provenance_nodes(spark: SparkSession, input_snapshot: str | None = None) -> DataFrame:
+    """TrackingObjects analog (TrackingObjects.java:50-85): the importer
+    writes ITSELF into the graph — a Person node for the importer user
+    (createGraphImporterUserNode) and an InstanceEdit node stamped with
+    the run time (createInstanceEditNode).  Deterministic ids + RUN_TS so
+    reruns are idempotent (the reference mints ++maxDbId per run; content
+    ids are the distributable version, SURVEY.md §7 risk 1)."""
+    ts_str = RUN_TS.strftime("%Y-%m-%d %H:%M:%S")
+
+    def _node(cid: str, labels: list[str], display: str, cls: str, props: list[tuple[str, str]]):
+        kv = [F.lit(x) for pair in props for x in pair]
+        return spark.range(1).select(
+            F.xxhash64(F.lit(cid)).alias("node_id"),
+            F.lit(cid).alias("canonical_id"),
+            F.array(*[F.lit(x) for x in labels]).alias("labels"),
+            F.lit(display).alias("display_name"),
+            F.lit(cls).alias("schema_class"),
+            F.create_map(*kv).alias("properties"),
+            F.lit(RUN_TS).alias("created_ts"),
+            F.lit(PROVENANCE_STAGE).alias("stage"),
+            F.lit(input_snapshot).cast("string").alias("input_snapshot"),
+        )
+
+    person = _node(
+        PERSON_ID, ENTITY_TYPE_LABELS["person"], "kg-importer", "person",
+        [("source", "kg-pipeline"), ("firstname", "kg-importer"), ("surname", "script")],
+    )
+    edit = _node(
+        INSTANCE_EDIT_ID, ["InstanceEdit", "Entity"],
+        f"kg-importer, {ts_str}", "InstanceEdit",
+        [("source", "kg-pipeline"), ("dateTime", ts_str)],
+    )
+    return person.unionByName(edit)
+
+
+def provenance_edges(spark: SparkSession) -> DataFrame:
+    """The provenance WIRING as first-class kg.edges rows, directions per
+    the reference (TrackingObjects.java:64-85): (Person)-[:author]->
+    (InstanceEdit) and (InstanceEdit)-[:created]->(DBInfo node), each
+    with stoichiometry = 1 and order = 1 exactly like the reference's
+    static properties map (TrackingObjects.java:29-33)."""
+    from kg.schema import EDGES_SCHEMA
+
+    rows = [
+        (PERSON_ID, INSTANCE_EDIT_ID, "author", 1, 1, None, RUN_TS, PROVENANCE_STAGE),
+        (INSTANCE_EDIT_ID, DB_INFO_ID, "created", 1, 1, None, RUN_TS, PROVENANCE_STAGE),
+    ]
+    return spark.createDataFrame(rows, EDGES_SCHEMA)
 
 
 def discarded_catalog_entities(catalog: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -377,6 +433,8 @@ __all__ = [
     "build_edges",
     "build_nodes",
     "db_info_node",
+    "provenance_nodes",
+    "provenance_edges",
     "discarded_catalog_entities",
     "top_level_component_ids",
     "qa_uniqueness",
@@ -387,4 +445,6 @@ __all__ = [
     "RUN_TS",
     "TOP_LEVEL_LABEL",
     "DB_INFO_ID",
+    "PERSON_ID",
+    "INSTANCE_EDIT_ID",
 ]

@@ -9,12 +9,16 @@ from pyspark.sql import functions as F
 # BPE-ish token pattern: alnum runs OR single non-alnum-non-space marks.
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
-# marker-word sets for the n-gram language heuristic (argmax of hits;
-# deterministic tiebreak by the CASE order: en > de > es).
+# Stopword marker sets for the language heuristic (argmax of hits;
+# deterministic tiebreak by the CASE order: en > de > es).  Genuine
+# high-frequency function words per language, chosen to be mutually
+# exclusive across the three sets (e.g. Spanish "es"/German "es" and
+# English "die"/German "die" ambiguities are avoided by not relying on
+# any single collision-prone token dominating a set).
 LANG_MARKERS = {
-    "en": ["the", "a", "of"],
-    "de": ["data", "table", "row"],
-    "es": ["spark", "query", "join"],
+    "en": ["the", "and", "of", "is", "to", "was", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "que", "los", "las", "una", "por", "con"],
 }
 
 

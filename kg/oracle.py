@@ -113,12 +113,21 @@ _SYMMETRIC = {"co_occurs_with"}
 _REVERSED = {"produced_by": "produces"}
 
 
+# provenance wiring (TrackingObjects.java:64-85 analog): Person -author->
+# InstanceEdit -created-> DBInfo, stoichiometry = order = 1, no conv_id.
+PROVENANCE_EDGE_ROWS = [
+    ("person:kg-importer", "edit:kg-pipeline", "author", 1, 1, None),
+    ("edit:kg-pipeline", "dbinfo:kg-pipeline", "created", 1, 1, None),
+]
+
+
 def oracle_edges(
     transcripts: pd.DataFrame,
     catalog: pd.DataFrame,
     alias_pairs: pd.DataFrame,
 ) -> pd.DataFrame:
-    """Full pipeline → edge table (src, dst, rel_type, stoichiometry, order)."""
+    """Full pipeline → edge table (src, dst, rel_type, stoichiometry, order),
+    including the run's two provenance edges."""
     idx = oracle_link_index(catalog)
     comp = oracle_components(alias_pairs)
     raw = oracle_extract(transcripts)
@@ -145,15 +154,17 @@ def oracle_edges(
     rows = []
     for (s, p, o), g in groups.items():
         rows.append((s, o, p, g["stoichiometry"], g["first"]))
+    cols = ["src", "dst", "rel_type", "stoichiometry", "order", "conv_id"]
+    prov = pd.DataFrame(PROVENANCE_EDGE_ROWS, columns=cols)
     df = pd.DataFrame(rows, columns=["src", "dst", "rel_type", "stoichiometry", "first_occ"])
     if df.empty:
-        return pd.DataFrame(columns=["src", "dst", "rel_type", "stoichiometry", "order"])
+        return prov
     df = df.sort_values(
         ["src", "rel_type", "first_occ", "dst"], kind="mergesort"
     ).reset_index(drop=True)
     df["order"] = df.groupby(["src", "rel_type"]).cumcount() + 1
     df["conv_id"] = df["first_occ"].map(lambda t: t[0])
-    return df[["src", "dst", "rel_type", "stoichiometry", "order", "conv_id"]]
+    return pd.concat([df[cols], prov], ignore_index=True)
 
 
 def oracle_triples(

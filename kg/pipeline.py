@@ -25,6 +25,7 @@ from kg.materialize import (
     build_nodes,
     discarded_catalog_entities,
     input_snapshot_checksum,
+    provenance_edges,
     qa_consistency,
     qa_uniqueness,
     top_level_component_ids,
@@ -56,7 +57,9 @@ def run_pipeline(
     linked = link_triples(raw, catalog)
     mapping = connected_components(alias_pairs)  # has its own actions (fixpoint)
     canonical = apply_canonical_map(linked, mapping).persist()
-    edges = build_edges(canonical)
+    # TrackingObjects analog: the run's Person/InstanceEdit wiring becomes
+    # first-class graph edges next to the content edges
+    edges = build_edges(canonical).unionByName(provenance_edges(spark))
     nodes = build_nodes(
         canonical,
         catalog,
@@ -158,7 +161,10 @@ def run_pipeline_materialized(
             },
         ),
     )
-    edges = _stage("edges", lambda: build_edges(canonical))
+    edges = _stage(
+        "edges",
+        lambda: build_edges(canonical).unionByName(provenance_edges(spark)),
+    )
     qa = run_qa(nodes, edges)
     # D5 analog (ReactomeBatchImporter.java:81,615,624): count the losers
     # of the representative-per-component top-1 reduction in the summary

@@ -43,6 +43,30 @@ def test_nodes_cover_edge_endpoints(spark, transcripts_df, catalog_df, alias_pai
     assert endpoints <= nodes
 
 
+def test_provenance_nodes_and_edges(spark, transcripts_df, catalog_df, alias_pairs_df):
+    """TrackingObjects analog: every run writes the importer into the
+    graph — Person + InstanceEdit nodes wired by author/created edges to
+    the DBInfo node, all first-class rows in kg.nodes/kg.edges."""
+    from kg.materialize import DB_INFO_ID, INSTANCE_EDIT_ID, PERSON_ID
+
+    res = run_pipeline(spark, transcripts_df, catalog_df, alias_pairs_df)
+    nodes = {
+        r["canonical_id"]: (r["schema_class"], tuple(r["labels"]))
+        for r in res["nodes"].collect()
+    }
+    assert nodes[PERSON_ID] == ("person", ("Person", "Agent", "Entity"))
+    assert nodes[INSTANCE_EDIT_ID][0] == "InstanceEdit"
+    assert DB_INFO_ID in nodes
+    prov = {
+        (r["src"], r["rel_type"], r["dst"]): (r["stoichiometry"], r["order"], r["conv_id"])
+        for r in res["edges"].where("stage = 'provenance'").collect()
+    }
+    assert prov == {
+        (PERSON_ID, "author", INSTANCE_EDIT_ID): (1, 1, None),
+        (INSTANCE_EDIT_ID, "created", DB_INFO_ID): (1, 1, None),
+    }
+
+
 def test_release_pipeline_unpersists(spark, transcripts_df, catalog_df, alias_pairs_df):
     from kg.pipeline import release_pipeline, run_pipeline
 

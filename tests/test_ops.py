@@ -202,6 +202,29 @@ def test_embedding_near_dup_bucket_blocks_quadratic(spark):
     assert pairs == {(1, 2)}
 
 
+def test_lang_id_real_sentences(spark):
+    """Actual English / German / Spanish prose classifies correctly —
+    round 2's placeholder marker sets could not do this."""
+    from kg.ops.text import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox is one of the animals that was seen "
+                "with the hunters and the dogs."),
+            (2, "Der alte Mann und das Meer ist ein Buch, das nicht nur "
+                "mit der See zu tun hat; die Geschichte ist bekannt."),
+            (3, "El perro y el gato viven en la casa que los abuelos "
+                "compraron por una moneda, con las ventanas abiertas."),
+            (4, "Die Kinder spielen mit dem Ball und der Hund ist nicht da."),
+            (5, "La vida es bella y los amigos que tenemos son una alegría "
+                "por la que damos las gracias con frecuencia."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in lang_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "de", 5: "es"}
+
+
 def test_merge_upsert_semantics(spark):
     from kg.ops.merge import merge_upsert
 
