@@ -43,16 +43,66 @@ def transitive_closure(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     raise RuntimeError(f"transitive_closure did not converge in {max_iter} rounds")
 
 
+def reachable_pairs(
+    roots: DataFrame,
+    edges: DataFrame,
+    root_col: str = "root",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Roots-restricted closure: (src=root, dst=node reachable from root),
+    src ≠ dst, for the given root set ONLY.
+
+    Same semi-naive fixpoint as transitive_closure, but the frontier is
+    seeded from the roots' direct out-edges, so intermediate and final
+    cardinality is O(Σ reach(root)) — bounded by what the consumer
+    actually joins against — instead of the full O(V·avg-reach) pair
+    explosion on deep/dense graphs.
+    """
+    e = edges.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+    seed = roots.select(F.col(root_col).alias("src")).distinct()
+    closure = (
+        seed.join(e, seed["src"] == e["_m"])
+        .select("src", F.col("_d").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = closure
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            return closure
+        new_pairs = (
+            frontier.join(e, frontier["dst"] == e["_m"])
+            .select("src", F.col("_d").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(closure, ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if new_pairs.isEmpty():
+            return closure
+        closure = closure.unionByName(new_pairs).localCheckpoint()
+        frontier = new_pairs
+    raise RuntimeError(f"reachable_pairs did not converge in {max_iter} rounds")
+
+
 def encapsulated_set(
     candidates: DataFrame,
     containment_edges: DataFrame,
     root_col: str = "root",
     node_col: str = "node",
+    max_iter: int = 30,
 ) -> DataFrame:
     """J7 (ReactomeBatchImporter.java:314-339): candidates(root, node)
     minus nodes already reachable from their root via containment edges —
-    left_anti against the transitive closure."""
-    closure = transitive_closure(containment_edges)
+    left_anti against the closure RESTRICTED to the candidate roots
+    (identical result to anti-joining the full closure, since only pairs
+    rooted at candidates can match, with bounded intermediates)."""
+    closure = reachable_pairs(
+        candidates.select(F.col(root_col).alias("root")),
+        containment_edges,
+        max_iter=max_iter,
+    )
     return candidates.join(
         closure,
         (candidates[root_col] == closure["src"])
@@ -61,4 +111,4 @@ def encapsulated_set(
     )
 
 
-__all__ = ["transitive_closure", "encapsulated_set"]
+__all__ = ["transitive_closure", "reachable_pairs", "encapsulated_set"]

@@ -66,21 +66,40 @@ def run_incremental(
     spark: SparkSession,
     input_dir: str,
     catalog: DataFrame,
-    alias_pairs: DataFrame,
+    alias_pairs: DataFrame | str,
     out_dir: str,
 ) -> dict:
     """Drain everything currently in input_dir through the pipeline
     incrementally (availableNow trigger), then compact to edges.
 
+    alias_pairs may be:
+    - a str: a parquet DIRECTORY that may grow between micro-batches —
+      the alias CC mapping is re-derived at the start of EVERY batch, so
+      a pair arriving between triggers merges correctly from the next
+      batch on (never silently linking against a stale mapping);
+    - a DataFrame: an immutable SNAPSHOT — the mapping is computed once;
+      by passing a DataFrame the caller asserts the alias set is static
+      for the lifetime of this call.
+
     Returns {"epochs": n, "edges": DataFrame}.  A restarted run resumes
     from the checkpoint (offsets) — unprocessed files only.
     """
+    from kg.schema import ALIAS_PAIRS_SCHEMA
+
     triples_dir = os.path.join(out_dir, "canonical_triples_stream")
     checkpoint = os.path.join(out_dir, "_checkpoint")
-    mapping = connected_components(alias_pairs)
+    alias_dir = alias_pairs if isinstance(alias_pairs, str) else None
+    static_mapping = None if alias_dir else connected_components(alias_pairs)
     epochs: list[int] = []
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        mapping = (
+            connected_components(
+                spark.read.schema(ALIAS_PAIRS_SCHEMA).parquet(alias_dir)
+            )
+            if alias_dir
+            else static_mapping
+        )
         raw = extract_triples(batch_df)
         linked = link_triples(raw, catalog)
         canonical = apply_canonical_map(linked, mapping)
@@ -111,7 +130,13 @@ def run_incremental(
             "edges": spark.createDataFrame([], EDGES_SCHEMA),
         }
     triples = spark.read.parquet(triples_dir).drop("epoch")
-    return {"epochs": len(epochs), "edges": build_edges(triples)}
+    # provenance wiring for parity with the batch pipeline's edge table
+    from kg.materialize import provenance_edges
+
+    return {
+        "epochs": len(epochs),
+        "edges": build_edges(triples).unionByName(provenance_edges(spark)),
+    }
 
 
 __all__ = ["transcript_stream", "windowed_mention_counts", "run_incremental"]

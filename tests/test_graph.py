@@ -3,7 +3,7 @@ row of SURVEY §4)."""
 
 from __future__ import annotations
 
-from kg.ops.graph import encapsulated_set, transitive_closure
+from kg.ops.graph import encapsulated_set, reachable_pairs, transitive_closure
 
 
 def _tc(spark, pairs):
@@ -40,3 +40,34 @@ def test_encapsulated_set_anti_join(spark):
     got = {(r["root"], r["node"])
            for r in encapsulated_set(candidates, containment).collect()}
     assert got == {("r", "q")}
+
+
+def test_reachable_pairs_restricted_to_roots(spark):
+    """Roots-restricted closure = full closure filtered to src ∈ roots."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    roots = spark.createDataFrame([("a",), ("x",)], "root string")
+    got = {(r["src"], r["dst"]) for r in reachable_pairs(roots, e).collect()}
+    full = {(r["src"], r["dst"]) for r in transitive_closure(e).collect()}
+    assert got == {p for p in full if p[0] in ("a", "x")}
+
+
+def test_encapsulated_on_deep_chain_bounded(spark):
+    """Deep chain (60 nodes): the restricted closure stays linear in the
+    root's reach (N-1 pairs) where the full closure is quadratic
+    (N·(N-1)/2) — identical encapsulated output either way."""
+    n = 60
+    chain = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    candidates = spark.createDataFrame(
+        [("v00", f"v{n-1:02d}"),   # reachable → dropped
+         ("v00", "zz")],           # not contained → encapsulated
+        "root string, node string",
+    )
+    got = {(r["root"], r["node"])
+           for r in encapsulated_set(candidates, e, max_iter=n + 5).collect()}
+    assert got == {("v00", "zz")}
+    roots = candidates.select("root").distinct()
+    restricted = reachable_pairs(roots, e, max_iter=n + 5).count()
+    assert restricted == n - 1                     # linear, not n*(n-1)/2
+    assert transitive_closure(e, max_iter=n + 5).count() == n * (n - 1) // 2

@@ -61,6 +61,51 @@ def test_incremental_resume_processes_only_new_files(
     assert second["edges"].count() > n_first
 
 
+def test_incremental_alias_dir_refreshes_between_batches(spark, tmp_path):
+    """Path-based alias source: a pair appended between two incremental
+    runs must merge from the next batch on (the static-DataFrame variant
+    would keep linking against the stale mapping)."""
+    import datetime as dt
+
+    def _t(conv, idx, text):
+        return (conv, idx, "user", text, None, dt.datetime(2025, 1, 1))
+
+    tcols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def _write_turns(rows, path):
+        pdf = pd.DataFrame(rows, columns=tcols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+    feed = tmp_path / "afeed"; feed.mkdir()
+    adir = tmp_path / "aliases"; adir.mkdir()
+    out = str(tmp_path / "aout")
+    catalog = spark.createDataFrame(
+        [], "entity_id string, canonical_name string, aliases array<string>, "
+            "blocking_key string, prefix string, entity_type string, freq_hint double",
+    )
+    _write_turns([_t("c1", 0, "link [[X]] and [[Y]] here")], str(feed / "b1.parquet"))
+    pd.DataFrame([("p", "q", "seed")], columns=["src", "dst", "kind"]).to_parquet(
+        str(adir / "a1.parquet"), index=False)
+
+    first = run_incremental(spark, str(feed), catalog, str(adir), out)
+    e1 = {(r["src"], r["dst"]) for r in first["edges"].collect()
+          if r["rel_type"] == "co_occurs_with"}
+    assert ("new:x", "new:y") in e1
+
+    # alias arrives merging new:y into new:x; later transcripts mention Y
+    pd.DataFrame([("new:x", "new:y", "alias")], columns=["src", "dst", "kind"]
+                 ).to_parquet(str(adir / "a2.parquet"), index=False)
+    _write_turns([_t("c2", 0, "then [[Y]] with [[W]]")], str(feed / "b2.parquet"))
+    second = run_incremental(spark, str(feed), catalog, str(adir), out)
+    e2 = {(r["src"], r["dst"]) for r in second["edges"].collect()
+          if r["rel_type"] == "co_occurs_with"}
+    assert ("new:w", "new:x") in e2     # Y canonicalized via the NEW pair
+    assert ("new:w", "new:y") not in e2  # the stale-mapping symptom
+
+
 def test_windowed_mention_counts_memory_sink(spark, transcripts_pdf, tmp_path):
     stream_dir = str(tmp_path / "feed3")
     _write_chunks(transcripts_pdf, stream_dir, n_chunks=2)
