@@ -101,7 +101,9 @@ def bench_kg_pipeline(spark, n_convs: int, warm_runs: int = 1, runs: int = 1) ->
         _one_run()
     results = [_one_run() for _ in range(max(runs, 1))]
     elapsed, triples, edges = min(results, key=lambda r: r[0])
+    stage_walls = bench_stage_walls(spark, tr, cat, ap)
     return {
+        "stage_walls": stage_walls,
         "n_convs": n_convs,
         "n_turns": int(n_turns),
         "triples": triples,
@@ -111,6 +113,49 @@ def bench_kg_pipeline(spark, n_convs: int, warm_runs: int = 1, runs: int = 1) ->
         "triples_per_sec": round(triples / elapsed, 1) if elapsed > 0 else 0.0,
         "turns_per_sec": round(n_turns / elapsed, 1) if elapsed > 0 else 0.0,
     }
+
+
+def bench_stage_walls(spark, tr, cat, ap) -> dict[str, float]:
+    """Per-stage wall breakdown (extract / link / cc / materialize), each
+    stage persisted + forced so the next stage's timer excludes upstream
+    recompute.  One extra warm pass after the headline runs — the split
+    localizes a perf regression to its stage without an event-log dig.
+    Stage boundaries don't overlap-execute here (the pipeline proper
+    pipelines them), so the sum slightly exceeds the end-to-end wall."""
+    from pyspark.sql import functions as F
+
+    from kg.canonicalize import apply_canonical_map, connected_components
+    from kg.extract import extract_triples
+    from kg.link import link_triples
+    from kg.materialize import build_edges, provenance_edges
+
+    spark.catalog.clearCache()
+    walls: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    raw = extract_triples(tr).persist()
+    raw.count()
+    walls["extract"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    linked = link_triples(raw, cat).persist()
+    linked.count()
+    walls["link"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    mapping = connected_components(ap).persist()
+    mapping.count()
+    walls["cc"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    canonical = apply_canonical_map(linked, mapping)
+    edges = build_edges(canonical).unionByName(provenance_edges(spark))
+    edges.agg(F.sum("stoichiometry"), F.count(F.lit(1))).collect()
+    walls["materialize"] = round(time.monotonic() - t0, 3)
+
+    for df in (raw, linked, mapping):
+        df.unpersist()
+    return walls
 
 
 def main() -> None:
@@ -141,7 +186,9 @@ def main() -> None:
     if cpus >= (os.cpu_count() or cpus):
         # saturated local box: each UDF task keeps a python worker AND a
         # JVM Arrow feeder runnable — cores/2 UDF partitions avoids the
-        # 2× oversubscription (PLANS.md; measured 23s → 18.6s at 2M convs)
+        # 2× oversubscription (PLANS.md; measured 23s → 18.6s at 2M convs).
+        # Only the pandas extract impl reads this; the default pure-JVM
+        # path has no python worker and ignores it.
         extra["spark.kg.extract.partitions"] = str(max(2, cpus // 2))
     spark = get_spark("bench", parallelism=cpus, extra_conf=extra)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup

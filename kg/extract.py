@@ -155,77 +155,96 @@ def extract_triples(
         return extract_triples_pandas(transcripts, num_partitions)
     if impl != "sql":
         raise ValueError(f"unknown extract impl {impl!r} (want 'sql' or 'pandas')")
-    return extract_triples_sql(transcripts)
+    return extract_triples_sql(transcripts, num_partitions)
 
 
-def _prefix_len(arr: Column, n: Column) -> Column:
-    """Sum of the first ``n`` elements of an int array (0 when n <= 0)."""
-    return F.coalesce(
-        F.aggregate(F.slice(arr, F.lit(1), F.greatest(n, F.lit(0))),
-                    F.lit(0), lambda a, x: a + x),
-        F.lit(0),
-    )
-
-
-def extract_triples_sql(transcripts: DataFrame) -> DataFrame:
+def extract_triples_sql(
+    transcripts: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """Pure-JVM extraction: the same rules R1-R3 (incl. char spans) as the
     pandas path, expressed entirely in Catalyst built-ins.
 
-    Plan shape: one scan → per-turn mention array (no explode yet) → ONE
-    shuffle (window on conv_id, ordered by turn_idx, for the R2 lag) →
-    concat the three rule outputs into one array per turn → one explode.
-    R1/R3 never leave the row; only R2 needs cross-row context.  At 10^12
-    turns this is a single exchange on a high-cardinality key + codegen.
+    Shape — explode-first, the same structure as the DuckDB oracle
+    (__spark_entry__.py `mentions`/`r1`/`r2`/`r3` CTEs):
+
+      scan → repartition(conv_id) → zip(surfs, parts) + posexplode →
+      span cumsums (window over (conv, turn) ordered by k) →
+      drop blank surfaces → lead/lag windows for R1/R2 → one explode of
+      the ≤3 rule outputs per mention.
+
+    ONE exchange (the explicit conv_id repartition; every window's
+    required distribution is satisfied by it) and ONE sort
+    (conv, turn, k — shared by all three window specs).  Every expression
+    is a plain projection over exploded rows — whole-stage codegen end to
+    end, no higher-order-function lambdas (Spark evaluates those
+    interpreted, measured ~5× slower than this form at 224k turns), and
+    each regexp/split runs exactly once per turn (an earlier array-valued
+    formulation let CollapseProject inline the mention array into every
+    consumer — 4 regexp evaluations per row).
 
     Span arithmetic (validated against re.finditer by the round-2 DuckDB
-    oracle, __spark_entry__.py `mentions` CTE): for 1-based mention k,
+    oracle): for 1-based mention k,
     span = Σ len(parts[1..k]) + Σ len(surfs[1..k-1]) + 4·(k-1), where
     parts = text split on the mention pattern and 4 = len('[[' + ']]').
     Blank surfaces are dropped AFTER span computation (offsets count
     them), matching MENTION_RE.finditer + the strip() filter.
     """
+    spark = transcripts.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
     pat = r"\[\[(.*?)\]\]"
     txt = F.coalesce(F.col("text"), F.lit(""))
-    t = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
-        F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
-    )
-    # materialize the length arrays BEFORE the per-mention expressions:
-    # Catalyst does not CSE inside higher-order functions, so slicing a
-    # transform(...) expression would recompute it per mention.
-    t = t.select(
-        "conv_id", "turn_idx", "role", "tool", "_surfs",
-        F.transform("_parts", F.length).alias("_plen"),
-        F.transform("_surfs", F.length).alias("_slen"),
-    )
-    ments = F.filter(
-        F.transform(
-            "_surfs",
-            # NB lambda arg 2 IS the 0-based index (Spark transform contract)
-            lambda s, i: F.struct(
-                (
-                    _prefix_len(F.col("_plen"), i + F.lit(1))
-                    + _prefix_len(F.col("_slen"), i)
-                    + i * F.lit(4)
-                ).cast("int").alias("span"),
-                s.alias("surface"),
-            ),
-        ),
-        lambda m: F.trim(m["surface"]) != "",
-    )
     t = (
-        t.select("conv_id", "turn_idx", "role", "tool", ments.alias("_ments"))
-        .where(F.size("_ments") > 0)
+        transcripts.select("conv_id", "turn_idx", "role", "tool", "text")
+        .repartition(n, "conv_id")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
+            F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
+        )
     )
-    # R2 context: previous mention-bearing turn's (turn_idx, last mention)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = t.withColumn(
-        "_prev",
-        F.lag(F.struct(F.col("turn_idx"), F.element_at("_ments", -1).alias("m"))).over(w),
+    # one row per mention occurrence k (1-based), blanks still included:
+    # _m.s = surface k, _m.p = the plain-text part BEFORE mention k
+    m = t.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_surfs").alias("s"),
+                F.slice("_parts", 1, F.size("_surfs")).alias("p"),
+            )
+        ).alias("_k0", "_m"),
+    ).select(
+        "conv_id", "turn_idx", "role", "tool",
+        (F.col("_k0") + 1).alias("k"),
+        F.col("_m.s").alias("surface"),
+        F.length("_m.p").alias("_plen"),
+        F.length("_m.s").alias("_slen"),
+    )
+    # span = cumsum(plen)[..k] + cumsum(slen + 4)[..k-1]  (blanks count)
+    w_span = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = m.select(
+        "conv_id", "turn_idx", "role", "tool", "k", "surface",
+        (
+            F.sum("_plen").over(w_span)
+            + F.sum(F.col("_slen") + 4).over(w_span)
+            - (F.col("_slen") + 4)
+        ).cast("int").alias("span_start"),
+    ).where(F.trim("surface") != "")
+    # R1/R2 context over the NON-BLANK mentions (matches the regex filter):
+    # same (conv, turn, k) sort order for every spec → no extra sort
+    w_turn = Window.partitionBy("conv_id", "turn_idx").orderBy("k")
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx", "k")
+    m = m.select(
+        "*",
+        F.lead("surface").over(w_turn).alias("_next_in_turn"),
+        F.lag("surface").over(w_turn).alias("_prev_in_turn"),
+        F.lag(F.struct("turn_idx", "span_start", "surface")).over(w_conv).alias("_prev"),
     )
 
     def _triple(ti: Column, span: Column, subj: Column, pred: str, obj: Column) -> Column:
@@ -237,36 +256,33 @@ def extract_triples_sql(transcripts: DataFrame) -> DataFrame:
             obj.alias("obj_surface"),
         )
 
-    n = F.size("_ments")
-    r1 = F.transform(
-        F.slice("_ments", F.lit(1), F.greatest(n - 1, F.lit(0))),
-        lambda m, i: _triple(
-            F.col("turn_idx"), m["span"], m["surface"], PRED_CO_OCCURS,
-            F.element_at(F.col("_ments"), i + F.lit(2))["surface"],
-        ),
-    )
     prev = F.col("_prev")
-    r2_one = _triple(
-        prev["turn_idx"], prev["m"]["span"], prev["m"]["surface"],
-        PRED_FOLLOWED_BY, F.element_at("_ments", 1)["surface"],
+    is_tool = (
+        (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
     )
-    # typed empty array (can't infer the struct type from a bare F.array())
-    empty = F.slice(r1, F.lit(1), F.lit(0))
-    r2 = F.when(prev.isNotNull(), F.array(r2_one)).otherwise(empty)
-    is_tool = (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
+    r1 = F.when(
+        F.col("_next_in_turn").isNotNull(),
+        _triple(F.col("turn_idx"), F.col("span_start"), F.col("surface"),
+                PRED_CO_OCCURS, F.col("_next_in_turn")),
+    )
+    # first non-blank mention of its turn ⇔ no in-turn predecessor
+    r2 = F.when(
+        F.col("_prev_in_turn").isNull() & prev.isNotNull(),
+        _triple(prev["turn_idx"], prev["span_start"], prev["surface"],
+                PRED_FOLLOWED_BY, F.col("surface")),
+    )
     r3 = F.when(
         is_tool,
-        F.transform(
-            "_ments",
-            lambda m: _triple(
-                F.col("turn_idx"), m["span"], m["surface"], PRED_PRODUCED_BY,
-                F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool")),
-            ),
-        ),
-    ).otherwise(empty)
-    out = t.select(
-        "conv_id", F.explode(F.concat(r1, r2, r3)).alias("_t")
+        _triple(F.col("turn_idx"), F.col("span_start"), F.col("surface"),
+                PRED_PRODUCED_BY, F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool"))),
     )
+    # explode + null-filter instead of filter(array(...), lambda): array
+    # HOFs evaluate interpreted, while Generate + Filter stay inside
+    # whole-stage codegen
+    out = m.select(
+        "conv_id",
+        F.explode(F.array(r1, r2, r3)).alias("_t"),
+    ).where(F.col("_t").isNotNull())
     return out.select(
         "conv_id",
         F.col("_t.turn_idx").alias("turn_idx"),
