@@ -112,31 +112,38 @@ def link_triples(
     The (surface → entity_id) map is derived from the distinct surfaces of
     the triple stream itself — usually vocabulary-sized, but a high-
     surface-cardinality corpus (code snippets, ids) is not a dimension.
-    Both its broadcasts are size-gated on the map's own row count; above
-    the gate the map is built by the salted shuffle path and joined to the
-    triples as plain shuffle joins (AQE skew-splits hot surfaces).
+    Both rejoins are size-gated on the map's exact row count (free: the
+    eager persist fill below already counts it); above the gate they run
+    as plain shuffle joins, where AQE skew-splits Zipfian-hot surfaces.
     """
-    from kg.canonicalize import _fits_broadcast
-
     surf = (
         raw_triples.select(F.col("subj_surface").alias("surface"))
         .unionByName(raw_triples.select(F.col("obj_surface").alias("surface")))
     )
-    vocab_small = _fits_broadcast(surf.distinct(), broadcast_threshold)
-    mapped = (
-        link_surfaces(surf, catalog, broadcast_threshold=broadcast_threshold)
-        if vocab_small
-        else link_surfaces_salted(surf, catalog)
-    )
+    # The map is built by link_surfaces unconditionally: its probe side is
+    # the DISTINCT vocabulary (each key once ⇒ no probe-side skew to
+    # salt), and its index side is already gated inside link_surfaces.
+    # link_surfaces_salted remains for callers probing NON-distinct
+    # surface streams with Zipfian keys.
+    mapped = link_surfaces(surf, catalog, broadcast_threshold=broadcast_threshold)
     # persist + EAGER fill: the map feeds TWO exchanges (subj + obj) whose
     # plans differ by rename, so ReuseExchange can't kick in; worse,
     # broadcast exchanges materialize on CONCURRENT driver threads, so a
     # lazy persist lets both race and compute the vocabulary distinct
     # (and the upstream extraction) simultaneously — observed as 3×
     # duplicated extraction stages in the event log.  One count() forces a
-    # single computation; both joins then read the cache.
+    # single computation; both joins then read the cache — AND that same
+    # count is the broadcast gate for the rejoins (a separate
+    # limit+count probe of the distinct vocabulary costs a full extra
+    # pass over the corpus surfaces; measured as a visible slice of the
+    # link wall at 60M turns).
     smap = mapped.select("surface", "entity_id").persist()
-    smap.count()
+    n_map = smap.count()
+    if broadcast_threshold is None:
+        broadcast_threshold = int(
+            raw_triples.sparkSession.conf.get("spark.kg.broadcastRowThreshold", "4000000")
+        )
+    vocab_small = broadcast_threshold > 0 and n_map <= broadcast_threshold
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if vocab_small else df
