@@ -1387,3 +1387,176 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+# ---- near-duplicate clustering: pairs → connected components → keeper ----
+_JACCARD_PAIRS_SQL = f"""
+    {_LSH_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+    shq AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM shq GROUP BY 1),
+    common AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN shq sa ON sa.doc_id = cand.doc_a
+      JOIN shq sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sz na ON common.doc_a = na.doc_id
+      JOIN sz nb ON common.doc_b = nb.doc_id
+      WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= 0.05)
+"""
+
+
+@_q(
+    "dedup_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    -- DISTINCT over UNION ALL: inside WITH RECURSIVE DuckDB treats a
+    -- top-level UNION CTE as a recursive candidate and skips the dedup
+    und AS (SELECT DISTINCT src, dst FROM (
+              SELECT doc_a AS src, doc_b AS dst FROM jp
+              UNION ALL SELECT doc_b, doc_a FROM jp)),
+    cc_nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach AS (
+      SELECT node, node AS r FROM cc_nodes
+      UNION
+      SELECT reach.node, und.dst AS r FROM reach JOIN und ON und.src = reach.r),
+    mapping AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    asg AS (
+      SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           first_value(doc_id) OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id)
+             AS keeper_doc_id
+    FROM asg
+    """,
+)
+def dedup_near_dup_clusters(spark, sf_dir):
+    """End-to-end near-dup removal: verified Jaccard pairs (LSH-blocked)
+    → connected components (transitive A~B~C merging) → longest-doc
+    keeper election per cluster."""
+    from kg.ops.dedup import near_dup_clusters
+
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+# ---- deterministic sampling / splits (md5-interval membership) ----
+from kg.ops.sample import (  # noqa: E402
+    _hex_point as _sample_hex,
+    bucket_sql as _sample_bucket_sql,
+    split_case_sql as _split_case_sql,
+)
+
+_STRAT_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
+_STRAT_DEFAULT = 0.05
+_STRAT_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{v}' THEN '{_sample_hex(r)}'"
+        for v, r in sorted(_STRAT_RATES.items())
+    )
+    + f" ELSE '{_sample_hex(_STRAT_DEFAULT)}' END"
+)
+
+
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_sample_bucket_sql("doc_id", "sample")} < {_STRAT_CASE}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sampling (language rebalancing): md5-
+    interval membership — stable across retries/partitionings/engines,
+    map-only (zero shuffle at any corpus size), unlike df.sampleBy."""
+    from kg.ops.sample import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        _STRAT_RATES,
+        default_rate=_STRAT_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@_q(
+    "sample_split_assign",
+    f"""
+    SELECT doc_id, {_split_case_sql("doc_id", _SPLIT_WEIGHTS)} AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Exhaustive, non-overlapping train/val/test assignment from
+    contiguous md5 intervals — a row's split never changes as the corpus
+    grows (randomSplit boundaries depend on partition contents)."""
+    from kg.ops.sample import assign_splits
+
+    return assign_splits(
+        _t(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+# ---- IVF approximate nearest neighbor (cell-probing scale path) ----
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id, v,
+                  md5('ivf|' || CAST(vec_id AS VARCHAR)) AS hk
+           FROM e ORDER BY hk, vec_id LIMIT 16),
+    cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+                    v AS cv, sqrt(list_dot_product(v, v)) AS cnorm
+             FROM c0),
+    asg AS (SELECT e.vec_id, e.v, cent.cid,
+                   round(list_dot_product(e.v, cent.cv) / cent.cnorm, 6) AS s
+            FROM e CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid FROM asg
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY s DESC, cid) = 1),
+    pc AS (SELECT vec_id AS probe_id, v AS pv, cid FROM asg
+           WHERE vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) <= 4),
+    cnd AS (SELECT probe_id, pv, c.vec_id AS neighbor_id, c.v AS nv
+            FROM pc JOIN cells c ON c.cid = pc.cid
+                                AND c.vec_id <> pc.probe_id),
+    sc AS (SELECT probe_id, neighbor_id,
+                  round(list_dot_product(pv, nv)
+                    / (sqrt(list_dot_product(pv, pv))
+                       * sqrt(list_dot_product(nv, nv))), 6) AS cos_sim
+           FROM cnd),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rk FROM sc)
+    SELECT probe_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_sim
+    FROM r WHERE rk <= 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic md5-seeded centroids, map-only cell
+    assignment (centroids inlined as literals — no join, no shuffle),
+    probes search their 4 nearest of 16 cells, exact cosine re-rank."""
+    from kg.ops.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        probe_ids=[0, 1, 2, 3, 4],
+        k=10,
+        n_cells=16,
+        n_probe=4,
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_BANDS = 4
 SHINGLE_K = 3
@@ -222,6 +223,70 @@ def simhash32(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id, cluster_id, keeper_doc_id): transitive near-duplicate
+    clusters with one elected representative per cluster.
+
+    The end-to-end dedup the pair operators feed: verified Jaccard pairs
+    (LSH-blocked, so bounded at any corpus size) are treated as edges of
+    an undirected graph; connected components merge chains A~B~C even
+    when A,C never co-occur in a bucket; the keeper is the longest
+    document (n_chars desc, doc_id asc tiebreak) — "keep the most
+    complete copy", the usual training-data policy.
+
+    Scale shape: pairs are LSH-bounded; CC reuses kg.canonicalize
+    (driver union-find under 100k edges — dup graphs are tiny relative
+    to the corpus — else the O(log n) star fixpoint); everything after
+    is one window over clustered docs only.  Docs in no pair are their
+    own singleton cluster via the left join + coalesce, never entering
+    the CC or the window.
+    """
+    from kg.canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold, None, n_bands, max_bucket_size)
+    # CC canonical_id is the LEXICOGRAPHIC min node; zero-pad so that
+    # equals the numeric min doc_id (and the oracle's plain min()).
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    mapping = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("cluster_id"),
+    )
+    asg = docs.select("doc_id", "n_chars").join(mapping, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        asg.withColumn("keeper_doc_id", F.first("doc_id").over(w))
+        .select("doc_id", "cluster_id", "keeper_doc_id")
+    )
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """The corpus with near-duplicate clusters collapsed to their keeper."""
+    keep = (
+        near_dup_clusters(docs, threshold, n_bands, max_bucket_size)
+        .where(F.col("doc_id") == F.col("keeper_doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
 
 
 def ngram_jaccard_pairs(

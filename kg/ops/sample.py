@@ -1,0 +1,133 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+A 100-TB training-data pipeline cannot use ``df.sample``: its output
+changes across retries (task re-execution re-draws the RNG stream per
+partition), across partitionings, and across engines — so a resumed run
+silently trains on a different corpus.  Every operator here decides
+membership from ``md5(salt || key)`` instead:
+
+- **stable**: the same row gets the same decision on every run, retry,
+  partitioning, and cluster size;
+- **map-only**: a filter/projection with zero shuffles — at 10^12 rows
+  the sample costs exactly one scan;
+- **portable**: md5 is identical everywhere, so the DuckDB oracles
+  reproduce the exact row set (not just the expected cardinality);
+- **independent per use**: the salt namespaces the hash, so sampling and
+  splitting the same corpus are uncorrelated decisions.
+
+The decision rule compares the first 8 hex chars of the digest
+(lexicographically — hex order == numeric order for fixed width) against
+``rate * 16^8``.  Each stratum/split gets a contiguous digest interval,
+so a row's split assignment is exhaustive and non-overlapping by
+construction.
+
+Reference anchor: the reference pipeline has no sampling stage (it
+imports everything, ReactomeBatchImporter.java:177-193); these operators
+are part of the training-data surface this engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # decision space: first 8 hex chars of md5
+
+
+def _hex_point(frac: float) -> str:
+    """Map a fraction in [0,1] to its 8-hex-digit boundary string."""
+    return format(min(max(int(frac * _SPACE), 0), _SPACE - 1), "08x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt|key) — the row's decision point."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), key.cast("string")).cast("binary")),
+        1,
+        8,
+    )
+
+
+def bucket_sql(key_expr: str, salt: str) -> str:
+    """The DuckDB transliteration of _bucket (for oracle SQL)."""
+    return f"substring(md5('{salt}|' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``.
+
+    rate >= 1.0 keeps everything (the 9-hex-digit boundary would compare
+    below every 8-digit bucket lexicographically, so it is special-cased
+    rather than clamped into the space).
+    """
+    if rate >= 1.0:
+        return df
+    return df.where(_bucket(F.col(key_col), salt) < F.lit(_hex_point(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 10% of English).
+
+    The per-row threshold is a CASE over ``strata_col`` — still a single
+    map-only filter, no shuffle, no per-stratum pass.  Unlike
+    ``df.sampleBy`` the result is exactly reproducible across runs and
+    engines.
+    """
+    thr: Column = F.lit(_hex_point(default_rate))
+    for value, rate in sorted(rates.items()):
+        point = "g" * 8 if rate >= 1.0 else _hex_point(rate)
+        # 'g' sorts above every hex digit ⇒ an always-true threshold
+        thr = F.when(F.col(strata_col) == value, F.lit(point)).otherwise(thr)
+    return df.where(_bucket(F.col(key_col), salt) < thr)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a train/val/test ``split`` column from contiguous digest
+    intervals — exhaustive and non-overlapping, so every row lands in
+    exactly one split and membership never changes as the corpus grows
+    (a new row never moves an old row between splits, unlike
+    ``randomSplit`` whose boundaries depend on partition contents).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    b = _bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = b < F.lit(_hex_point(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def split_case_sql(
+    key_expr: str, weights: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB CASE expression matching assign_splits (for oracle SQL)."""
+    total = sum(weights.values())
+    b = bucket_sql(key_expr, salt)
+    parts, acc = [], 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        parts.append(f"WHEN {b} < '{_hex_point(acc)}' THEN '{name}'")
+    return f"CASE {' '.join(parts)} ELSE '{items[-1][0]}' END"

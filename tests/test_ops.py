@@ -337,3 +337,73 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, by=["user_id"], ts_col="ts").collect()
     }
     assert got == {1: "A", 2: "B", 3: "B", 4: None}
+
+
+def test_near_dup_clusters_transitive_and_keeper(spark):
+    from kg.ops.dedup import near_dup_clusters, near_dup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = _docs(
+        spark,
+        [
+            # A~B and B~C share most shingles; A and C still land in ONE
+            # cluster via the component merge even if their direct overlap
+            # is weaker
+            (1, base + " alpha", "en", "s1", 70),
+            (2, base + " alpha beta", "en", "s1", 75),
+            (3, base + " beta gamma delta", "en", "s1", 80),
+            # unrelated doc: singleton cluster, its own keeper
+            (9, "completely unrelated content with no overlap at all here",
+             "en", "s2", 55),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in near_dup_clusters(d, threshold=0.3).collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    # keeper = longest doc (n_chars desc), here doc 3
+    assert all(rows[i]["keeper_doc_id"] == 3 for i in (1, 2, 3))
+    assert rows[9]["cluster_id"] == 9 and rows[9]["keeper_doc_id"] == 9
+    kept = {r["doc_id"] for r in near_dup_dedup(d, threshold=0.3).collect()}
+    assert kept == {3, 9}
+
+
+def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
+    from kg.ops.similarity import brute_force_topk, ivf_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_probe == n_cells ⇒ every cell searched ⇒ exact (candidates only
+    # exclude self), so IVF must equal brute force row-for-row
+    ivf = ivf_topk(e, probe_ids=[0, 1, 2], k=5, n_cells=4, n_probe=4)
+    bf = brute_force_topk(e, probe_ids=[0, 1, 2], k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    from kg.ops.similarity import brute_force_topk, ivf_topk
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [0, 1, 2, 3, 4]
+    ivf = ivf_topk(e, probe_ids=probes, k=10, n_cells=8, n_probe=4)
+    bf = brute_force_topk(e, probe_ids=probes, k=10)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["probe_id"], r["neighbor_id"]) for r in bf.collect()}
+    # every IVF hit is ranked by true cosine, and probing half the cells
+    # on random data should recover a solid share of the true top-10
+    recall = len(got & want) / len(want)
+    assert recall >= 0.4, recall
+    # per-probe output is a well-formed top-k: ranks 1..n, no dup neighbors
+    import collections
+
+    by_probe = collections.defaultdict(list)
+    for r in ivf.collect():
+        by_probe[r["probe_id"]].append(r)
+    for p, rs in by_probe.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x["neighbor_id"] for x in rs}) == len(rs)

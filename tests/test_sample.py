@@ -1,0 +1,79 @@
+"""Deterministic sampling/split operators: stability, exhaustiveness,
+rate accuracy, and partitioning-independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.ops.sample import assign_splits, hash_sample, stratified_sample
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, n=2000):
+    langs = ["en", "de", "es", "fr"]
+    rows = [
+        (i, f"text {i}", langs[i % 4], f"src{i % 7}", 10 + i % 90)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    d = _docs(spark)
+    s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(d.repartition(7), "doc_id", 0.3).collect()}
+    assert s1 == s2  # partitioning-independent, rerun-stable
+    assert 0.25 < len(s1) / 2000 < 0.35  # binomial(2000, .3) 3.5σ band
+    assert hash_sample(d, "doc_id", 1.0).count() == 2000
+    # nested: a 0.3 sample of a 0.6 sample IS the 0.3 sample (intervals nest)
+    s6 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.6).collect()}
+    assert s1 <= s6
+
+
+def test_hash_sample_salt_independence(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.5, salt="b").collect()}
+    overlap = len(a & b) / 2000
+    assert 0.17 < overlap < 0.33  # ~0.25 if independent; far from 0.5
+
+
+def test_stratified_rates(spark):
+    d = _docs(spark)  # 500 docs per lang
+    out = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.8, "de": 0.2}, default_rate=0.0
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("es") is None and counts.get("fr") is None
+    assert 350 < counts["en"] <= 500
+    assert 60 < counts["de"] < 150
+    # rate 1.0 stratum keeps every row
+    full = stratified_sample(d, "doc_id", "lang", {"fr": 1.0}, default_rate=0.0)
+    assert full.count() == 500
+    assert full.where(F.col("lang") != "fr").count() == 0
+
+
+def test_split_assignment_exhaustive_and_stable(spark):
+    d = _docs(spark)
+    asg = assign_splits(d, "doc_id")
+    got = {r["doc_id"]: r["split"] for r in asg.collect()}
+    assert len(got) == 2000
+    assert set(got.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 0.74 < n_train / 2000 < 0.86
+    # growth-stability: the assignment of an existing row never changes
+    # when new rows arrive (contrast randomSplit)
+    sub = assign_splits(d.where(F.col("doc_id") < 500), "doc_id")
+    for r in sub.collect():
+        assert got[r["doc_id"]] == r["split"]
+
+
+def test_split_uncorrelated_with_sample(spark):
+    d = _docs(spark)
+    sampled = hash_sample(d, "doc_id", 0.5)  # salt="sample"
+    asg = assign_splits(sampled, "doc_id")   # salt="split"
+    n = asg.count()
+    n_train = asg.where(F.col("split") == "train").count()
+    assert 0.72 < n_train / n < 0.88  # still ~0.8 inside the sample
