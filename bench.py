@@ -39,8 +39,11 @@ HEADLINE_QUERIES = [
     "text_quality_score",
     "text_token_count",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "asof_join_profiles",
     "merge_upsert_customers",
+    "dedup_near_dup_clusters",
+    "sample_split_assign",
 ]
 
 SF_TO_CONVS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}

@@ -1560,3 +1560,52 @@ def ann_ivf_topk(spark, sf_dir):
         n_cells=16,
         n_probe=4,
     )
+
+
+# ---- PageRank (fixed-point integer arithmetic — engine-exact) ----
+from kg.ops.graph import pagerank_sql as _pagerank_sql  # noqa: E402
+
+_PR_EDGES_CTE = """e AS (
+      SELECT 'R:' || r_name AS src, 'N:' || n_name AS dst
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'N:' || n_name, 'S:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'S:' || CAST(s_suppkey AS VARCHAR), 'R:' || r_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey)"""
+
+
+@_q(
+    "graph_pagerank",
+    _pagerank_sql(_PR_EDGES_CTE, n_iter=10, damping_pct=85, emit_double=False),
+)
+def graph_pagerank(spark, sf_dir):
+    """10-iteration PageRank over the region→nation→supplier→region cycle
+    graph.  pr_scaled is BIGINT fixed-point (1.0 == 10^12): every step is
+    integer div + exact integer sum, so the value is bitwise identical
+    across engines/partitionings/retries — float PageRank is not."""
+    from kg.ops.graph import pagerank
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    e1 = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.concat(F.lit("R:"), "r_name").alias("src"),
+        F.concat(F.lit("N:"), "n_name").alias("dst"),
+    )
+    e2 = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        F.concat(F.lit("N:"), "n_name").alias("src"),
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("dst"),
+    )
+    e3 = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("R:"), "r_name").alias("dst"),
+        )
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return pagerank(edges, n_iter=10, damping_pct=85).select("node", "pr_scaled")

@@ -111,4 +111,148 @@ def encapsulated_set(
     )
 
 
-__all__ = ["transitive_closure", "reachable_pairs", "encapsulated_set"]
+PR_SCALE = 10**12  # fixed-point unit: 1.0 of rank mass == 10^12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over edges(src, dst) →
+    (node, pr_scaled, pagerank).
+
+    **Fixed-point integer arithmetic end-to-end**: ranks live as BIGINT
+    multiples of 1/PR_SCALE.  Every step is integer division (`div`) and
+    an exact integer sum, so the result is bitwise identical across
+    partitionings, retries, engines, and shuffle orders — a double-based
+    PageRank is NOT (float addition is order-sensitive, and 10 iterations
+    amplify the divergence).  That's what makes the DuckDB oracle an
+    exact value-hash match, and what a resumable 100-TB pipeline needs
+    from any iterative kernel it re-runs.
+
+    Semantics: r_0 = PR_SCALE div N;
+    r_{i+1}(v) = base + (damping_pct · Σ_{u→v} r_i(u) div outdeg(u)) div 100
+    with base = ((100-damping_pct) · PR_SCALE) div (100·N).  Mass from
+    dangling nodes (no out-edges) is dropped, not redistributed — the
+    classic simplified formulation (Spark's own PageRank example does the
+    same); totals therefore sum to slightly under PR_SCALE on graphs with
+    sinks.
+
+    Scale shape: the edge table is hash-partitioned on src ONCE and
+    persisted; each iteration re-joins ranks on that same key (one
+    shuffle of the small rank table per round, the big edge table never
+    moves again), then aggregates contributions map-combined on dst.
+    Lineage is truncated every `checkpoint_every` rounds.
+    """
+    spark = edges.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .repartition(parts, "src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # degree rides the same src partitioning; joining it onto the edges
+    # once keeps the per-iteration plan to a single rank join
+    ed = e.join(deg, "src").select("src", "dst", "od").persist()
+    ed.count()  # eager fill (broadcast/lazy-persist race, see kg/link.py)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        ed.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("pr_scaled"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("r"))
+    for i in range(n_iter):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    out = ranks.select(
+        "node",
+        F.col("r").alias("pr_scaled"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 12).alias("pagerank"),
+    )
+    e.unpersist()
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_sql(
+    edges_cte: str,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    emit_double: bool = True,
+) -> str:
+    """DuckDB transliteration of pagerank(): chained CTEs r0..r{n} (no
+    recursion needed for a FIXED iteration count), same integer ops.
+    ``edges_cte`` must define a relation named ``e`` with (src, dst).
+    emit_double=False omits the derived double column — the fixed-point
+    BIGINT is the engine-exact value; a 12dp double round can differ in
+    the last digit between rounding implementations."""
+    scale = PR_SCALE
+    base = (
+        f"(({100 - damping_pct} * {scale}::BIGINT)"
+        f" // (100 * (SELECT count(*) FROM pr_nodes)))"
+    )
+    ctes = [
+        edges_cte,
+        """pr_nodes AS (SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "pr_deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1)",
+        "pr_ed AS (SELECT e.src, e.dst, d.od FROM e JOIN pr_deg d ON d.src = e.src)",
+        f"""r0 AS (SELECT node,
+               ({scale}::BIGINT // (SELECT count(*) FROM pr_nodes)) AS r
+             FROM pr_nodes)""",
+    ]
+    for i in range(n_iter):
+        ctes.append(f"""r{i + 1} AS (
+          SELECT n.node,
+                 CAST({base} + ({damping_pct} * coalesce(s.s, 0)) // 100
+                      AS BIGINT) AS r
+          FROM pr_nodes n
+          LEFT JOIN (SELECT dst, sum(r.r // ed.od) AS s
+                     FROM pr_ed ed JOIN r{i} r ON r.node = ed.src
+                     GROUP BY 1) s ON s.dst = n.node)""")
+    tail = (
+        f", round(r / {float(scale)!r}, 12) AS pagerank" if emit_double else ""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS pr_scaled{tail} FROM r{n_iter}"
+    )
+
+
+__all__ = [
+    "transitive_closure",
+    "reachable_pairs",
+    "encapsulated_set",
+    "pagerank",
+    "pagerank_sql",
+]

@@ -71,3 +71,42 @@ def test_encapsulated_on_deep_chain_bounded(spark):
     restricted = reachable_pairs(roots, e, max_iter=n + 5).count()
     assert restricted == n - 1                     # linear, not n*(n-1)/2
     assert transitive_closure(e, max_iter=n + 5).count() == n * (n - 1) // 2
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    from kg.ops.graph import PR_SCALE, pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["node"]: r["pr_scaled"] for r in pagerank(e, n_iter=10).collect()}
+    # uniform 1/2 is the stationary distribution; integer arithmetic keeps
+    # it exactly (base + 85% of half == half)
+    assert got == {"a": PR_SCALE // 2, "b": PR_SCALE // 2}
+
+
+def test_pagerank_sink_absorbs_rank(spark):
+    from kg.ops.graph import pagerank
+
+    # star into a sink: the sink must outrank every spoke
+    e = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["pr_scaled"] for r in pagerank(e, n_iter=10).collect()}
+    assert got["hub"] > got["s2"] and got["hub"] > got["s3"]
+    # total mass stays positive and ≤ 1.0 (dangling mass is dropped)
+    from kg.ops.graph import PR_SCALE
+
+    assert 0 < sum(got.values()) <= PR_SCALE
+
+
+def test_pagerank_partitioning_invariant(spark):
+    import random
+
+    from kg.ops.graph import pagerank
+
+    rng = random.Random(3)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(200)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, pagerank(e, n_iter=8).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(13), n_iter=8).collect()))
+    assert a == b  # bitwise identical: fixed-point arithmetic, no float sums
