@@ -1609,3 +1609,63 @@ def graph_pagerank(spark, sf_dir):
     )
     edges = e1.unionByName(e2).unionByName(e3)
     return pagerank(edges, n_iter=10, damping_pct=85).select("node", "pr_scaled")
+
+
+# ---- repetition signals + PII scrubbing ----
+@_q(
+    "text_repetition",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    base AS (SELECT doc_id, len(words) AS n_w,
+                    len(list_distinct(words)) AS n_u, words FROM w),
+    bg AS (SELECT doc_id,
+             unnest(CASE WHEN len(words) >= 2 THEN
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i+1])
+               ELSE [] END) AS b
+           FROM base),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+    SELECT base.doc_id,
+           CAST(n_w AS BIGINT) AS n_words,
+           CAST(n_u AS BIGINT) AS n_uniq_words,
+           round(CASE WHEN n_w > 0
+                      THEN 1 - n_u / CAST(n_w AS DOUBLE) ELSE 0.0 END, 6)
+             AS rep_word_frac,
+           round(coalesce(mx / CAST(tot AS DOUBLE), 0.0), 6)
+             AS top_bigram_share
+    FROM base LEFT JOIN tops ON tops.doc_id = base.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """C4/Gopher repetition filters: repeated-word fraction + top-bigram
+    share (array exprs + one doc_id-keyed explode/agg — skew-free)."""
+    from kg.ops.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def _pii_sql() -> str:
+    from kg.ops.text import PII_PATTERNS, _PII_ORDER
+
+    clean = "text"
+    for kind in _PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        clean = f"regexp_replace({clean}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{k}s".format(
+            p=PII_PATTERNS[k].replace("'", "''"), k=k
+        )
+        for k in _PII_ORDER
+    )
+    return f"SELECT doc_id, {counts}, {clean} AS clean_text FROM documents"
+
+
+@_q("text_pii_scrub", _pii_sql())
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: URL/email/IPv4 counts + <TOKEN>-redacted text, all
+    regexp built-ins (patterns in the Java-regex ∩ RE2 subset so both
+    engines execute identical expressions)."""
+    from kg.ops.text import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))

@@ -80,3 +80,88 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.substring(norm, 1, 64).cast("binary")).alias("fingerprint"),
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_uniq_words, rep_word_frac, top_bigram_share):
+    C4/Gopher-style repetition filters — repeated-word fraction and the
+    share of the single most frequent word bigram.
+
+    Shape: the per-doc word stats are pure array expressions (map-only);
+    only the bigram mode needs an explode + one map-combined groupBy, and
+    the per-doc share rides a second small agg on doc_id.  Both shuffles
+    key on doc_id — uniform, skew-free at any corpus size.
+    """
+    # materialize the words column once: Catalyst does not CSE inside HOFs
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = docs.withColumn("w", w).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq_words"),
+        "w",
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat(
+                F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tops = counts.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    return (
+        base.drop("w")
+        .join(tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_uniq_words",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    1 - F.col("n_uniq_words") / F.col("n_words").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("rep_word_frac"),
+            F.round(
+                F.coalesce(F.col("mx") / F.col("tot").cast("double"), F.lit(0.0)), 6
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+# PII patterns written to the Java-regex ∩ RE2 common subset so the
+# DuckDB oracle executes the identical expressions.
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+_PII_ORDER = ["url", "email", "ip"]  # urls first: they can contain '@' and dots
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_urls, n_emails, n_ips, clean_text): count and redact
+    URLs / emails / IPv4s.  Counts are per-pattern over the ORIGINAL
+    text; redaction applies in _PII_ORDER so an address inside a URL is
+    swallowed by the <URL> token.  Pure regexp built-ins — map-only."""
+    clean = F.col("text")
+    for kind in _PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count("text", F.lit(PII_PATTERNS[k])).cast("long")
+            .alias(f"n_{k}s")
+            for k in _PII_ORDER
+        ],
+        clean.alias("clean_text"),
+    )

@@ -407,3 +407,51 @@ def test_ivf_topk_partial_probe_recall(spark):
     for p, rs in by_probe.items():
         assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
         assert len({x["neighbor_id"] for x in rs}) == len(rs)
+
+
+def test_repetition_signals(spark):
+    from kg.ops.text import repetition_signals
+
+    d = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam", "en", "s", 30),
+            (2, "all words here are fully distinct", "en", "s", 34),
+            (3, "one", "en", "s", 3),
+            (4, "", "en", "s", 0),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    assert rows[1]["n_words"] == 6 and rows[1]["n_uniq_words"] == 1
+    assert rows[1]["rep_word_frac"] > 0.8
+    assert rows[1]["top_bigram_share"] == 1.0  # every bigram is "spam spam"
+    assert rows[2]["rep_word_frac"] == 0.0
+    assert rows[2]["top_bigram_share"] < 0.3
+    assert rows[3]["top_bigram_share"] == 0.0  # no bigrams
+    assert rows[4]["n_words"] == 0 and rows[4]["rep_word_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from kg.ops.text import pii_scrub
+
+    d = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.org or bob@test.co today",
+             "en", "s", 50),
+            (2, "see https://example.org/a?b=c and http://t.co/x", "en", "s", 48),
+            (3, "server at 192.168.0.1 port 80", "en", "s", 29),
+            (4, "nothing sensitive here", "en", "s", 22),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert rows[1]["n_emails"] == 2
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert "jane.doe" not in rows[1]["clean_text"]
+    assert rows[2]["n_urls"] == 2
+    assert rows[2]["clean_text"].count("<URL>") == 2
+    assert "example.org" not in rows[2]["clean_text"]
+    assert rows[3]["n_ips"] == 1 and "<IP>" in rows[3]["clean_text"]
+    assert "192.168" not in rows[3]["clean_text"]
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert rows[4]["n_urls"] == rows[4]["n_emails"] == rows[4]["n_ips"] == 0
