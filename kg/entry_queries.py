@@ -1669,3 +1669,39 @@ def text_pii_scrub(spark, sf_dir):
     from kg.ops.text import pii_scrub
 
     return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_top_tokens",
+    f"""
+    WITH t AS (SELECT lang, unnest({_WORDS_SQL}) AS token FROM documents),
+    c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, token) AS rk FROM c)
+    SELECT lang, token, n, CAST(rk AS BIGINT) AS rank_in_lang
+    FROM r WHERE rk <= 20
+    """,
+)
+def text_top_tokens(spark, sf_dir):
+    """Per-language vocabulary heavy hitters (top-20 tokens): the corpus
+    stat a tokenizer-training pipeline reads first.  One explode + a
+    map-combined (lang, token) count + a per-lang top-k window; the
+    count shuffle keys on (lang, token) — high-cardinality, skew-free —
+    and only the tiny per-lang aggregate reaches the window."""
+    from pyspark.sql.window import Window as W
+
+    from kg.ops.dedup import words
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        c.withColumn("rank_in_lang", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_lang") <= 20)
+        .select("lang", "token", "n", "rank_in_lang")
+    )
