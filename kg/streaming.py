@@ -212,3 +212,30 @@ def stateful_extract(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    content_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose content hash was already
+    seen (within the watermark horizon).
+
+    dropDuplicatesWithinWatermark keys on the md5 content hash, so
+    re-delivered or re-ingested identical payloads are emitted once —
+    the streaming face of exact_dedup (kg/ops/dedup.py).  State is one
+    (hash → timestamp) entry per distinct content inside the horizon and
+    is evicted by the watermark, so state size is bounded by the horizon,
+    not the stream length — the property that keeps this runnable
+    forever on a 10^12-row feed.  Exactly-once replay of a micro-batch
+    re-deduplicates to the same output (hash equality is deterministic,
+    unlike sampling-based dedup).
+    """
+    hashed = stream.withColumn(
+        "content_hash", F.md5(F.col(content_col).cast("binary"))
+    ).withWatermark("ts", watermark)
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"]).drop(
+        "content_hash"
+    )

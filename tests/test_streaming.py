@@ -182,3 +182,43 @@ def test_incremental_empty_input_dir(spark, catalog_df, alias_pairs_df, tmp_path
     assert res["epochs"] == 0
     assert res["edges"].count() == 0
     assert "rel_type" in res["edges"].columns
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Identical payloads re-delivered across files are emitted once;
+    distinct payloads all pass."""
+    import datetime as dt
+
+    from kg.streaming import streaming_exact_dedup, transcript_stream
+
+    stream_dir = str(tmp_path / "dedup_feed")
+    os.makedirs(stream_dir, exist_ok=True)
+    ts = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello [[Spark]]", None, ts),
+        ("c1", 1, "assistant", "hi there", None, ts),
+        # exact re-delivery of c1/0's payload under a different key
+        ("c2", 0, "user", "hello [[Spark]]", None, ts),
+        ("c2", 1, "user", "something else", None, ts),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["tool"] = pdf["tool"].astype("string")  # all-None would write INT32
+    pdf.to_parquet(os.path.join(stream_dir, "a.parquet"), index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out = streaming_exact_dedup(transcript_stream(spark, stream_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_sink").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["hello [[Spark]]", "hi there", "something else"]
