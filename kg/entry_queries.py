@@ -1705,3 +1705,51 @@ def text_top_tokens(spark, sf_dir):
         .where(F.col("rank_in_lang") <= 20)
         .select("lang", "token", "n", "rank_in_lang")
     )
+
+
+@_q(
+    "mm_resize_dims",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 640 + 1 AS w, n % 480 + 1 AS h FROM b)
+    SELECT doc_id,
+      CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(CASE WHEN greatest(w, h) > 256
+                THEN (w * 256) // greatest(w, h) ELSE w END AS BIGINT)
+        AS out_width,
+      CAST(CASE WHEN greatest(w, h) > 256
+                THEN (h * 256) // greatest(w, h) ELSE h END AS BIGINT)
+        AS out_height
+    FROM d
+    """,
+)
+def mm_resize_dims(spark, sf_dir):
+    """Multimodal resize plumbing: stub decode → integer clamp of the
+    longest side to 256 inside the same mapInPandas batch loop a real
+    PIL resize would use.  Integer arithmetic ⇒ engine-exact oracle."""
+    from kg.ops.multimodal import resize_images, with_binary_payload
+
+    return resize_images(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, text,
+                      octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, text,
+                 unnest(range(0, (n // 1024) + 1, 4)) AS frame_idx
+          FROM b)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+    FROM f
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: every payload fans out to
+    one row per sampled frame index (the 1→N mapInPandas contract a
+    real decoder needs); per-frame md5 fingerprints recomputed by the
+    oracle from the identical stub bytes."""
+    from kg.ops.multimodal import sample_frames, with_binary_payload
+
+    return sample_frames(with_binary_payload(_t(spark, sf_dir, "documents")))

@@ -76,3 +76,75 @@ def decode_features(binary_df: DataFrame, batch_budget_rows: int = 1024) -> Data
                 )
 
     return binary_df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width long, height long, out_width long, out_height long"
+)
+
+
+def resize_images(binary_df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """mapInPandas resize: decode (stub) → clamp longest side to max_dim.
+
+    The resize arithmetic is INTEGER (w·max_dim // max(w,h)) so the
+    result is engine-exact and the oracle can recompute it; a production
+    build swaps the stub decode + the PIL `Image.resize` call into the
+    same batch loop.  1 row in → 1 row out, no shuffle.
+    """
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(decode_image_stub)
+            w = pd.Series([d[0] for d in dims], index=pdf.index)
+            h = pd.Series([d[1] for d in dims], index=pdf.index)
+            mx = pd.concat([w, h], axis=1).max(axis=1)
+            scale_needed = mx > max_dim
+            ow = w.where(~scale_needed, (w * max_dim) // mx)
+            oh = h.where(~scale_needed, (h * max_dim) // mx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": w.values,
+                    "height": h.values,
+                    "out_width": ow.astype("int64").values,
+                    "out_height": oh.astype("int64").values,
+                }
+            )
+
+    return binary_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_fp string"
+FRAME_BYTES = 1024  # stub: one fake frame per KiB of payload
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """mapInPandas frame sampler: each payload fans out to one row per
+    sampled frame (indices 0, every_n, 2·every_n, …).
+
+    Demonstrates the 1→N batch contract (output rows ≠ input rows —
+    the shape a real video decoder needs); the per-frame fingerprint is
+    md5(payload ‖ ':' ‖ idx), computable by the SQL oracle since the
+    stub payload is the utf-8 text.  A production build decodes real
+    frames in the same loop and emits them as a binary column.
+    """
+    import hashlib
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_idx, out_fp = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) // FRAME_BYTES) + 1
+                for idx in range(0, n_frames, every_n):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_fp.append(
+                        hashlib.md5(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_fp": out_fp}
+            )
+
+    return binary_df.mapInPandas(_frames, schema=FRAMES_SCHEMA)

@@ -455,3 +455,34 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "192.168" not in rows[3]["clean_text"]
     assert rows[4]["clean_text"] == "nothing sensitive here"
     assert rows[4]["n_urls"] == rows[4]["n_emails"] == rows[4]["n_ips"] == 0
+
+
+def test_resize_clamps_longest_side(spark):
+    from kg.ops.multimodal import resize_images, with_binary_payload
+
+    d = _docs(spark, [(1, "x" * 700, "en", "s", 700), (2, "y" * 10, "en", "s", 10)])
+    rows = {r["doc_id"]: r for r in
+            resize_images(with_binary_payload(d), max_dim=256).collect()}
+    # doc 1: w=(700%640)+1=61, h=(700%480)+1=221 → clamp to 256 is a no-op
+    assert (rows[1]["out_width"], rows[1]["out_height"]) == (61, 221)
+    r1 = rows[1]
+    assert max(r1["out_width"], r1["out_height"]) <= 256
+    # small payload: unchanged
+    assert (rows[2]["out_width"], rows[2]["out_height"]) == (
+        rows[2]["width"], rows[2]["height"])
+
+
+def test_frame_sample_fanout(spark):
+    import hashlib
+
+    from kg.ops.multimodal import sample_frames, with_binary_payload
+
+    text = "z" * 5000  # 5000 bytes → 5 fake frames (0..4), sampled 0 and 4
+    d = _docs(spark, [(7, text, "en", "s", 5000)])
+    rows = sorted(
+        sample_frames(with_binary_payload(d), every_n=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 4]
+    want = hashlib.md5(text.encode() + b":0").hexdigest()
+    assert rows[0]["frame_fp"] == want
