@@ -1753,3 +1753,37 @@ def mm_frame_sample(spark, sf_dir):
     from kg.ops.multimodal import sample_frames, with_binary_payload
 
     return sample_frames(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+@_q(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    eb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    p AS (SELECT vec_id AS probe_id, pv,
+                 unnest([pbkt, xor(pbkt, 1), xor(pbkt, 2), xor(pbkt, 4),
+                         xor(pbkt, 8), xor(pbkt, 16), xor(pbkt, 32)])
+                   AS pbucket
+          FROM (SELECT vec_id, v AS pv, bucket AS pbkt
+                FROM eb WHERE vec_id < 5)),
+    s AS (SELECT probe_id, eb.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+          FROM eb JOIN p ON eb.bucket = p.pbucket
+          WHERE eb.vec_id <> probe_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s)
+    SELECT probe_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_sim
+    FROM r WHERE rk <= 10
+    """,
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k: each probe also searches the n_planes
+    Hamming-1 buckets (vectors that fell just across one hyperplane),
+    trading a (n_planes+1)/2^n_planes corpus scan share for recall with
+    no index rebuild."""
+    from kg.ops.similarity import lsh_topk
+
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10, hamming=1
+    )

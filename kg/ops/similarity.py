@@ -97,18 +97,37 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 6,
     dim: int = 64,
+    hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH bucket,
     then exact cosine re-rank.  2^n_planes buckets ⇒ the candidate join
-    touches ~1/2^n_planes of the corpus per probe."""
+    touches ~1/2^n_planes of the corpus per probe.
+
+    ``hamming=1`` turns on multi-probe: each probe also searches the
+    n_planes buckets one bit-flip away (the vectors that fell JUST on the
+    other side of one hyperplane — the dominant miss mode), raising the
+    scanned share to (n_planes+1)/2^n_planes and recall with it, with no
+    index change and no extra shuffle (the probe side merely fans out
+    n_planes+1 rows per probe before the same broadcast join).
+    """
     planes = _hyperplane(dim, n_planes)
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    if hamming not in (0, 1):
+        raise ValueError("hamming must be 0 or 1")
+    pbuckets = F.array(
+        F.col("bucket"),
+        *(
+            [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+            if hamming
+            else []
+        ),
+    )
     probes = e.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
-        F.col("bucket").alias("pbucket"),
+        F.explode(pbuckets).alias("pbucket"),
     )
     cand = e.join(
         F.broadcast(probes),

@@ -486,3 +486,27 @@ def test_frame_sample_fanout(spark):
     assert [r["frame_idx"] for r in rows] == [0, 4]
     want = hashlib.md5(text.encode() + b":0").hexdigest()
     assert rows[0]["frame_fp"] == want
+
+
+def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
+    import random
+
+    from kg.ops.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [0, 1, 2, 3]
+    bf = {(r["probe_id"], r["neighbor_id"])
+          for r in brute_force_topk(e, probes, 10).collect()}
+    single = {(r["probe_id"], r["neighbor_id"])
+              for r in lsh_topk(e, probes, 10, n_planes=5, dim=16).collect()}
+    multi = {(r["probe_id"], r["neighbor_id"])
+             for r in lsh_topk(e, probes, 10, n_planes=5, dim=16,
+                               hamming=1).collect()}
+    # multiprobe candidates are a superset of the single-bucket ones, so
+    # recall (true-top-k hits) can only go up — and with 6/32 of the
+    # corpus scanned it must find strictly more of them here.  (The
+    # OUTPUT is not a superset: more candidates can displace weak
+    # single-bucket hits from the top-10.)
+    assert len(multi & bf) > len(single & bf)
