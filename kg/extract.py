@@ -167,16 +167,22 @@ def extract_triples_sql(
     Shape — explode-first, the same structure as the DuckDB oracle
     (__spark_entry__.py `mentions`/`r1`/`r2`/`r3` CTEs):
 
-      scan → repartition(conv_id) → zip(surfs, parts) + posexplode →
+      scan → zip(surfs, parts) + posexplode (MAP-SIDE) →
+      exchange on conv_id over mention rows →
       span cumsums (window over (conv, turn) ordered by k) →
       drop blank surfaces → lead/lag windows for R1/R2 → one explode of
       the ≤3 rule outputs per mention.
 
-    ONE exchange (the explicit conv_id repartition; every window's
-    required distribution is satisfied by it) and ONE sort
-    (conv, turn, k — shared by all three window specs).  Every expression
-    is a plain projection over exploded rows — whole-stage codegen end to
-    end, no higher-order-function lambdas (Spark evaluates those
+    ONE exchange and ONE sort (conv, turn, k — shared by all three
+    window specs; hash(conv_id) satisfies every spec's clustering).  The
+    regexp/split/explode run BEFORE the exchange, on the scan stage, so
+    the shuffle carries short mention rows (surface + two lengths + the
+    precomputed R3 object), not the raw text — ~2.5× fewer shuffle
+    bytes, which is what saturated the single socket's memory bandwidth
+    at full host width (measured: text-shuffling variant scaled 84s→56s
+    from 8→32 cores; see BENCH/BASELINE.md round 3).  Every expression
+    is a plain projection over exploded rows — whole-stage codegen end
+    to end, no higher-order-function lambdas (Spark evaluates those
     interpreted, measured ~5× slower than this form at 224k turns), and
     each regexp/split runs exactly once per turn (an earlier array-valued
     formulation let CollapseProject inline the mention array into every
@@ -193,22 +199,26 @@ def extract_triples_sql(
     n = num_partitions or spark.sparkContext.defaultParallelism
     pat = r"\[\[(.*?)\]\]"
     txt = F.coalesce(F.col("text"), F.lit(""))
-    t = (
-        transcripts.select("conv_id", "turn_idx", "role", "tool", "text")
-        .repartition(n, "conv_id")
-        .select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            "tool",
-            F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
-            F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
-        )
+    # R3's object is derivable per-turn — fold role+tool into it here so
+    # the shuffle row carries ONE short nullable string instead of two
+    is_tool = (
+        (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
+    )
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_tool, F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool")))
+        .alias("_tool_obj"),
+        F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
+        F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
     )
     # one row per mention occurrence k (1-based), blanks still included:
-    # _m.s = surface k, _m.p = the plain-text part BEFORE mention k
+    # _m.s = surface k, _m.p = the plain-text part BEFORE mention k.
+    # All of the above runs map-side on the scan; the explicit conv_id
+    # repartition BELOW is the single exchange, and it moves mention
+    # rows, not text.
     m = t.select(
-        "conv_id", "turn_idx", "role", "tool",
+        "conv_id", "turn_idx", "_tool_obj",
         F.posexplode(
             F.arrays_zip(
                 F.col("_surfs").alias("s"),
@@ -216,12 +226,12 @@ def extract_triples_sql(
             )
         ).alias("_k0", "_m"),
     ).select(
-        "conv_id", "turn_idx", "role", "tool",
+        "conv_id", "turn_idx", "_tool_obj",
         (F.col("_k0") + 1).alias("k"),
         F.col("_m.s").alias("surface"),
         F.length("_m.p").alias("_plen"),
         F.length("_m.s").alias("_slen"),
-    )
+    ).repartition(n, "conv_id")
     # span = cumsum(plen)[..k] + cumsum(slen + 4)[..k-1]  (blanks count)
     w_span = (
         Window.partitionBy("conv_id", "turn_idx")
@@ -229,7 +239,7 @@ def extract_triples_sql(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     m = m.select(
-        "conv_id", "turn_idx", "role", "tool", "k", "surface",
+        "conv_id", "turn_idx", "_tool_obj", "k", "surface",
         (
             F.sum("_plen").over(w_span)
             + F.sum(F.col("_slen") + 4).over(w_span)
@@ -257,9 +267,6 @@ def extract_triples_sql(
         )
 
     prev = F.col("_prev")
-    is_tool = (
-        (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
-    )
     r1 = F.when(
         F.col("_next_in_turn").isNotNull(),
         _triple(F.col("turn_idx"), F.col("span_start"), F.col("surface"),
@@ -272,9 +279,9 @@ def extract_triples_sql(
                 PRED_FOLLOWED_BY, F.col("surface")),
     )
     r3 = F.when(
-        is_tool,
+        F.col("_tool_obj").isNotNull(),
         _triple(F.col("turn_idx"), F.col("span_start"), F.col("surface"),
-                PRED_PRODUCED_BY, F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool"))),
+                PRED_PRODUCED_BY, F.col("_tool_obj")),
     )
     # explode + null-filter instead of filter(array(...), lambda): array
     # HOFs evaluate interpreted, while Generate + Filter stay inside
