@@ -91,12 +91,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the stoichiometry/order edge aggregation) into pure SQL over the
 # same fixture parquet — a fully independent execution path.
 def _kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # impl pinned to "sql": the contract must exercise the scale path
+    # even at fixture size (auto-dispatch would pick pandas here; the
+    # pandas path has its own entry below)
     from pyspark.sql import functions as F
 
     from kg.extract import extract_triples
 
     tr, _, _ = _load_fixtures(spark)
-    return extract_triples(tr).select(
+    return extract_triples(tr, impl="sql").select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
         F.col("span_start").cast("long").alias("span_start"),

@@ -167,7 +167,10 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=None)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--warm-runs", type=int, default=1)
-    ap.add_argument("--runs", type=int, default=1)
+    # best-of-3 by default: single-run walls on this host swing ±40%
+    # under CPU-steal spikes (see PLANS.md), which would make round-over-
+    # round BENCH comparisons noise-dominated
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

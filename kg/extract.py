@@ -138,7 +138,7 @@ def extract_triples(
     tests/test_extract.py::test_sql_equals_pandas on the synth corpus plus
     adversarial strings):
 
-    - ``sql`` (default): pure JVM built-ins — regexp_extract_all +
+    - ``sql``: pure JVM built-ins — regexp_extract_all +
       split-parts cumsum for spans, one window for the cross-turn rule,
       one explode.  Whole-stage codegen end to end; no Python worker, so
       each task is ONE runnable thread (the pandas path keeps two: python
@@ -147,14 +147,34 @@ def extract_triples(
     - ``pandas``: the mapInPandas path (kept as the §2.10 UDF-surface
       demo and for the stateful-streaming variant that shares its core).
 
-    Select via ``impl=`` or ``spark.kg.extract.impl`` (default ``sql``).
+    Select via ``impl=`` or ``spark.kg.extract.impl`` (default ``auto``).
+
+    ``auto`` dispatches on input size — the same adaptive pattern as
+    connected_components' driver/distributed split: a bounded
+    limit-count probe (stops scanning at threshold+1 rows, so its cost
+    does not grow with the corpus) picks ``pandas`` under
+    ``spark.kg.extract.autoThresholdTurns`` (default 2M turns) and
+    ``sql`` above.  Measured basis (same host, fresh JVMs, best-of-3,
+    local[32]): at 224k turns pandas extracts in 1.1s vs sql 2.3s (the
+    sql plan's extra shuffle+window stages are pure latency overhead on
+    tiny inputs, and Python-worker reuse amortizes to nothing); at 60M
+    turns sql wins 24.9s vs 33.3s AND scales 8→32 cores where the
+    pandas path's 2-threads-per-task structure caps out (0.552 → 0.693
+    measured pipeline efficiency, BENCH/BASELINE.md).
     """
+    spark = transcripts.sparkSession
     if impl is None:
-        impl = transcripts.sparkSession.conf.get("spark.kg.extract.impl", "sql")
+        impl = spark.conf.get("spark.kg.extract.impl", "auto")
+    if impl == "auto":
+        thr = int(spark.conf.get("spark.kg.extract.autoThresholdTurns", "2000000"))
+        small = transcripts.limit(thr + 1).count() <= thr
+        impl = "pandas" if small else "sql"
     if impl == "pandas":
         return extract_triples_pandas(transcripts, num_partitions)
     if impl != "sql":
-        raise ValueError(f"unknown extract impl {impl!r} (want 'sql' or 'pandas')")
+        raise ValueError(
+            f"unknown extract impl {impl!r} (want 'auto', 'sql' or 'pandas')"
+        )
     return extract_triples_sql(transcripts, num_partitions)
 
 

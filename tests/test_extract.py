@@ -134,7 +134,7 @@ def test_sql_path_is_pure_jvm_one_exchange(spark):
 
     df = extract_triples_sql(_nasty_df(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "mapInPandas" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
 
@@ -145,3 +145,17 @@ def test_mentions_builtin_matches_udf(spark, transcripts_df, transcripts_pdf):
 
     exp = sum(len(re.findall(r"\[\[(.*?)\]\]", t)) for t in transcripts_pdf["text"])
     assert got == exp
+
+
+def test_auto_impl_dispatches_on_size(spark, transcripts_df):
+    """auto = pandas under the turn threshold, sql above (bounded probe)."""
+    from kg.extract import extract_triples
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    spark.conf.set("spark.kg.extract.autoThresholdTurns", "1000000000")
+    assert "MapInPandas" in plan(extract_triples(transcripts_df, impl="auto"))
+    spark.conf.set("spark.kg.extract.autoThresholdTurns", "1")
+    assert "MapInPandas" not in plan(extract_triples(transcripts_df, impl="auto"))
+    spark.conf.unset("spark.kg.extract.autoThresholdTurns")
