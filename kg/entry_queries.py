@@ -1787,3 +1787,45 @@ def ann_lsh_multiprobe(spark, sf_dir):
     return lsh_topk(
         _t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3, 4], k=10, hamming=1
     )
+
+
+@_q(
+    "sample_split_contamination",
+    f"""
+    WITH {_LSH_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+    shc AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    szc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+    common AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN shc sa ON sa.doc_id = cand.doc_a
+      JOIN shc sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    jacc AS (
+      SELECT doc_a, doc_b,
+             round(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN szc na ON common.doc_a = na.doc_id
+      JOIN szc nb ON common.doc_b = nb.doc_id
+      WHERE round(n_common / (na.n_sh + nb.n_sh - n_common), 6) >= 0.05),
+    tagged AS (
+      SELECT doc_a, {_split_case_sql("doc_a", _SPLIT_WEIGHTS)} AS split_a,
+             doc_b, {_split_case_sql("doc_b", _SPLIT_WEIGHTS)} AS split_b,
+             jaccard
+      FROM jacc)
+    SELECT * FROM tagged WHERE split_a <> split_b
+    """,
+)
+def sample_split_contamination(spark, sf_dir):
+    """Decontamination report: near-dup pairs straddling train/val/test
+    boundaries (LSH-blocked exact Jaccard × deterministic splits; zero
+    extra joins — the split is recomputed in place on the endpoints)."""
+    from kg.ops.sample import split_contamination
+
+    return split_contamination(
+        _t(spark, sf_dir, "documents"), threshold=0.05, weights=_SPLIT_WEIGHTS
+    )

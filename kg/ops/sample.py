@@ -131,3 +131,52 @@ def split_case_sql(
         acc += w / total
         parts.append(f"WHEN {b} < '{_hex_point(acc)}' THEN '{name}'")
     return f"CASE {' '.join(parts)} ELSE '{items[-1][0]}' END"
+
+
+def split_contamination(
+    docs,
+    threshold: float = 0.05,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+):
+    """(doc_a, split_a, doc_b, split_b, jaccard): near-duplicate pairs
+    that STRADDLE split boundaries — the train→test leakage report every
+    training pipeline needs before it trusts its eval numbers.
+
+    Composition of two verified operators: LSH-blocked exact-Jaccard
+    pairs (kg.ops.dedup.ngram_jaccard_pairs — bounded at any corpus
+    size) filtered to pairs whose endpoints land in different md5-
+    interval splits (assign_splits — deterministic, so the report is
+    reproducible and stable as the corpus grows).  Empty result ⇒ no
+    detectable cross-split contamination at this shingle threshold.
+    Both split joins broadcast nothing: the assignment is a projection
+    of the pair endpoints' own doc_ids (hash recomputed in place), so
+    this adds ZERO joins and zero shuffles to the pair pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    from kg.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold)
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def _split_of(col: str):
+        # recompute the md5-interval assignment directly on the pair
+        # columns — no join against an assignment table needed
+        total = sum(weights.values())
+        b = _bucket(F.col(col), salt)
+        expr = None
+        acc = 0.0
+        items = list(weights.items())
+        for name, w in items[:-1]:
+            acc += w / total
+            cond = b < F.lit(_hex_point(acc))
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        return expr.otherwise(items[-1][0])
+
+    return (
+        pairs.withColumn("split_a", _split_of("doc_a"))
+        .withColumn("split_b", _split_of("doc_b"))
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )

@@ -77,3 +77,32 @@ def test_split_uncorrelated_with_sample(spark):
     n = asg.count()
     n_train = asg.where(F.col("split") == "train").count()
     assert 0.72 < n_train / n < 0.88  # still ~0.8 inside the sample
+
+
+def test_split_contamination_flags_cross_split_near_dups(spark):
+    from kg.ops.sample import assign_splits, split_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest tonight")
+    # find two doc_ids landing in different splits so the planted pair
+    # is guaranteed to straddle a boundary
+    probe = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    got = {r["doc_id"]: r["split"]
+           for r in assign_splits(probe, "doc_id").collect()}
+    a = next(i for i, s in got.items() if s == "train")
+    b = next(i for i, s in got.items() if s != "train")
+    rows = [
+        (a, base + " alpha", "en", "s", 100),
+        (b, base + " beta", "en", "s", 100),       # near-dup of a, other split
+        (10_000, "totally different content with no overlap whatsoever at all",
+         "en", "s", 60),  # id outside the probe range — never collides
+    ]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = split_contamination(d, threshold=0.3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r["doc_a"], r["doc_b"]} == {a, b}
+    assert r["split_a"] != r["split_b"]
+    assert r["jaccard"] >= 0.3
