@@ -4,11 +4,12 @@ Reference analog: the per-instance traversal + attribute-switch dispatch of
 ReactomeBatchImporter.java:262-354 and the XML line-scan extraction of
 structured references out of semi-structured text
 (ReactomeBatchImporter.java:320-331).  Here the "semi-structured text" is
-the transcript turn, and the extraction window is the conversation:
-``groupBy("conv_id").applyInPandas`` — N turns in, M triples out
-(UDTF-shaped), with all row-level text work vectorized through Arrow
-batches (input_hint: no per-row Python in the Spark plan; the pandas code
-below runs on whole conversation groups, not rows).
+the transcript turn, and the extraction window is the conversation.
+Two equivalent implementations, auto-dispatched by size (see
+extract_triples): a pure-JVM codegen path (map-side regexp + posexplode,
+span/context windows over one conv_id exchange of mention rows) for
+large corpora, and a mapInPandas path (N turns in, M triples out,
+UDTF-shaped, Arrow-batched — no per-row Python) for small ones.
 
 Extraction rules (replicated exactly by kg/oracle.py — the P/R contract):
   mentions  = ``[[Surface Form]]`` spans, in (turn_idx, span_start) order
