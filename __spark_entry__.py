@@ -223,7 +223,7 @@ def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:
              row_number() OVER (PARTITION BY conv_id, turn_idx
                                 ORDER BY k) AS pos,
              count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_in_turn
-      FROM m_all WHERE trim(surfs[k]) <> ''),
+      FROM m_all WHERE regexp_matches(surfs[k], '[^ \\t\\n\\x0B\\f\\r]')),
     r1 AS (
       SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx, a.span_start,
              a.surface AS subj_surface, 'co_occurs_with' AS pred,

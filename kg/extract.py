@@ -37,6 +37,20 @@ from kg.schema import MENTIONS_SCHEMA, RAW_TRIPLES_SCHEMA
 
 MENTION_RE = re.compile(r"\[\[(.*?)\]\]")
 
+# Blankness is defined over ASCII whitespace EXPLICITLY so all three
+# engines agree byte-for-byte (ADVICE r3): Java regex \s is ASCII-only
+# [ \t\n\x0B\f\r], Python str.strip() strips *Unicode* whitespace, and
+# RE2 \s is ASCII again.  The shared rule: a surface is a mention iff it
+# contains at least one char outside this set.
+ASCII_WS = " \t\n\r\f\x0b"
+# Java/RE2 character class for "some non-ASCII-whitespace char exists"
+NONBLANK_RE = r"[^ \t\n\x0B\f\r]"
+# Java regex: (?d) = UNIX_LINES, so '.' excludes only \n — matching
+# Python re and RE2 (default Java '.' excludes \r and U+2028/2029 too,
+# silently dropping mentions like [[x\ry]] from the SQL path only).
+MENTION_PAT_JAVA = r"(?d)\[\[(.*?)\]\]"
+MENTION_SPLIT_JAVA = r"(?d)\[\[.*?\]\]"
+
 PRED_CO_OCCURS = "co_occurs_with"
 PRED_FOLLOWED_BY = "followed_by"
 PRED_PRODUCED_BY = "produced_by"
@@ -50,7 +64,7 @@ def _turn_mentions(text: str | None) -> list[tuple[int, str]]:
     return [
         (m.start(), m.group(1))
         for m in MENTION_RE.finditer(text)
-        if m.group(1).strip()
+        if m.group(1).strip(ASCII_WS)
     ]
 
 
@@ -74,7 +88,8 @@ def _extract_block(pdf: pd.DataFrame) -> pd.DataFrame:
             cur_conv = conv_id
             prev_last = None
         ms = (
-            [(m.start(), m.group(1)) for m in finditer(text) if m.group(1).strip()]
+            [(m.start(), m.group(1)) for m in finditer(text)
+             if m.group(1).strip(ASCII_WS)]
             if text
             else []
         )
@@ -218,7 +233,7 @@ def extract_triples_sql(
     """
     spark = transcripts.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    pat = r"\[\[(.*?)\]\]"
+    pat = MENTION_PAT_JAVA
     txt = F.coalesce(F.col("text"), F.lit(""))
     # R3's object is derivable per-turn — fold role+tool into it here so
     # the shuffle row carries ONE short nullable string instead of two
@@ -231,7 +246,7 @@ def extract_triples_sql(
         F.when(is_tool, F.concat(F.lit(TOOL_SURFACE_PREFIX), F.col("tool")))
         .alias("_tool_obj"),
         F.regexp_extract_all(txt, F.lit(pat), 1).alias("_surfs"),
-        F.split(txt, r"\[\[.*?\]\]").alias("_parts"),
+        F.split(txt, MENTION_SPLIT_JAVA).alias("_parts"),
     )
     # one row per mention occurrence k (1-based), blanks still included:
     # _m.s = surface k, _m.p = the plain-text part BEFORE mention k.
@@ -266,7 +281,7 @@ def extract_triples_sql(
             + F.sum(F.col("_slen") + 4).over(w_span)
             - (F.col("_slen") + 4)
         ).cast("int").alias("span_start"),
-    ).where(F.trim("surface") != "")
+    ).where(F.col("surface").rlike(NONBLANK_RE))
     # R1/R2 context over the NON-BLANK mentions (matches the regex filter):
     # same (conv, turn, k) sort order for every spec → no extra sort
     w_turn = Window.partitionBy("conv_id", "turn_idx").orderBy("k")
@@ -361,7 +376,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
             "turn_idx",
             "role",
             "tool",
-            F.regexp_extract_all("text", F.lit(r"\[\[(.*?)\]\]"), 1).alias("surfaces"),
+            F.regexp_extract_all("text", F.lit(MENTION_PAT_JAVA), 1).alias("surfaces"),
         )
         .select(
             "conv_id",
@@ -371,7 +386,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
             "tool",
         )
         .withColumn("mention_pos", F.col("mention_pos").cast("int"))
-        .where(F.trim("surface") != "")
+        .where(F.col("surface").rlike(NONBLANK_RE))
     )
 
 

@@ -253,7 +253,10 @@ def near_dup_clusters(
     pairs = ngram_jaccard_pairs(docs, threshold, None, n_bands, max_bucket_size)
     # CC canonical_id is the LEXICOGRAPHIC min node; zero-pad so that
     # equals the numeric min doc_id (and the oracle's plain min()).
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    # 20 chars: max int64 is 19 digits — Spark lpad TRUNCATES strings
+    # longer than len, so a 12-char pad would silently collapse distinct
+    # 13+-digit doc_ids into one CC node (ADVICE r3).
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
     mapping = connected_components(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     ).select(

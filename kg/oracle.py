@@ -20,6 +20,9 @@ import re
 import pandas as pd
 
 _MENTION = re.compile(r"\[\[(.*?)\]\]")
+# ASCII-whitespace blankness, byte-identical to kg.extract.ASCII_WS (the
+# shared Java\s ∩ RE2\s ∩ explicit-Python rule — ADVICE r3)
+_ASCII_WS = " \t\n\r\f\x0b"
 
 
 def _norm(s: str) -> str:
@@ -40,7 +43,7 @@ def oracle_extract(transcripts: pd.DataFrame) -> list[tuple]:
             ms = [
                 (m.start(), m.group(1))
                 for m in _MENTION.finditer(text)
-                if m.group(1).strip()
+                if m.group(1).strip(_ASCII_WS)
             ]
             for i in range(len(ms) - 1):
                 out.append(

@@ -47,15 +47,17 @@ def windowed_mention_counts(
 ) -> DataFrame:
     """Watermarked event-time windowed mention counts (pure built-ins —
     regexp_extract_all is streaming-safe, no Python)."""
+    from kg.extract import MENTION_PAT_JAVA, NONBLANK_RE
+
     m = (
         stream.withWatermark("ts", watermark)
         .select(
             "ts",
             F.explode(
-                F.regexp_extract_all("text", F.lit(r"\[\[(.*?)\]\]"), 1)
+                F.regexp_extract_all("text", F.lit(MENTION_PAT_JAVA), 1)
             ).alias("surface"),
         )
-        .where(F.trim("surface") != "")
+        .where(F.col("surface").rlike(NONBLANK_RE))
     )
     return m.groupBy(F.window("ts", window), "surface").agg(
         F.count(F.lit(1)).alias("n_mentions")
@@ -216,26 +218,30 @@ def stateful_extract(stream: DataFrame) -> DataFrame:
 
 def streaming_exact_dedup(
     stream: DataFrame,
-    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    key_cols: tuple[str, ...] = (),
     content_col: str = "text",
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup: drop records whose content hash was already
     seen (within the watermark horizon).
 
-    dropDuplicatesWithinWatermark keys on the md5 content hash, so
-    re-delivered or re-ingested identical payloads are emitted once —
-    the streaming face of exact_dedup (kg/ops/dedup.py).  State is one
-    (hash → timestamp) entry per distinct content inside the horizon and
-    is evicted by the watermark, so state size is bounded by the horizon,
-    not the stream length — the property that keeps this runnable
-    forever on a 10^12-row feed.  Exactly-once replay of a micro-batch
-    re-deduplicates to the same output (hash equality is deterministic,
-    unlike sampling-based dedup).
+    dropDuplicatesWithinWatermark keys on ``(*key_cols, content_hash)``:
+    with the default ``key_cols=()`` dedup is GLOBAL over content (any
+    re-delivered identical payload is emitted once — the streaming face
+    of exact_dedup, kg/ops/dedup.py); passing key columns SCOPES the
+    dedup, e.g. ``key_cols=("conv_id",)`` keeps one copy of identical
+    text per conversation rather than per stream.  (The parameter was
+    previously declared but unused — ADVICE r3.)  State is one
+    (key, hash → timestamp) entry per distinct key inside the horizon
+    and is evicted by the watermark, so state size is bounded by the
+    horizon, not the stream length — the property that keeps this
+    runnable forever on a 10^12-row feed.  Exactly-once replay of a
+    micro-batch re-deduplicates to the same output (hash equality is
+    deterministic, unlike sampling-based dedup).
     """
     hashed = stream.withColumn(
         "content_hash", F.md5(F.col(content_col).cast("binary"))
     ).withWatermark("ts", watermark)
-    return hashed.dropDuplicatesWithinWatermark(["content_hash"]).drop(
-        "content_hash"
-    )
+    return hashed.dropDuplicatesWithinWatermark(
+        [*key_cols, "content_hash"]
+    ).drop("content_hash")

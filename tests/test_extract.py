@@ -83,6 +83,9 @@ NASTY_TURNS = [
     ("n1", 8, "user", "]] stray [[q]] closers [[", None),
     ("n1", 9, "user", "[[α βγ]] unicode [[δ]]", None),
     ("n1", 10, "user", "[[a\nb]] dot excludes newline [[ok]]", None),
+    ("n1", 11, "user", "[[\t]] tab-only surface is blank [[keep]]", None),
+    ("n1", 12, "user", "[[x\ry]] carriage return is NOT a '.'-stopper [[cr2]]", None),
+    ("n1", 13, "user", "[[ \t\x0b\f ]] all-ascii-ws blank then [[real]]", None),
     ("n2", 5, "user", "late start [[first]]", None),    # conv starts mid-index
     ("n2", 9, "user", "gap then [[second]] [[third]]", None),
     ("n3", 0, "user", "[[solo]]", None),                # single-mention conv
@@ -114,6 +117,11 @@ def test_sql_equals_pandas_adversarial(spark):
     # spans: regex is non-greedy and '.' excludes newline
     assert ("a[[b", "co_occurs_with", "q") not in trip  # different turns
     assert ("first", "followed_by", "second") in trip
+    # ADVICE r3: tab-only / all-ascii-ws surfaces are blank in BOTH paths
+    assert not any(s.strip(" \t\n\r\f\x0b") == "" for s, _p, _o in trip)
+    assert not any(o.strip(" \t\n\r\f\x0b") == "" for _s, _p, o in trip)
+    # ADVICE r3: '\r' inside a mention survives the SQL path's Java regex
+    assert ("x\ry", "co_occurs_with", "cr2") in trip
 
 
 def test_sql_equals_pandas_on_corpus(spark, transcripts_df):

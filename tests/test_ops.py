@@ -366,6 +366,35 @@ def test_near_dup_clusters_transitive_and_keeper(spark):
     assert kept == {3, 9}
 
 
+def test_near_dup_clusters_13_digit_doc_ids(spark):
+    """ADVICE r3: Spark lpad TRUNCATES over-length strings, so a 12-char
+    zero-pad collapsed distinct 13+-digit doc_ids sharing a prefix into
+    one CC node.  Two near-dup PAIRS whose four ids share the first 12
+    digits must stay two clusters with the right keepers."""
+    from kg.ops.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    a1, a2 = 1_000_000_000_001, 1_000_000_000_002   # 13 digits, same 12-prefix
+    b1, b2 = 1_000_000_000_013, 1_000_000_000_014
+    d = _docs(
+        spark,
+        [
+            (a1, base + " alpha", "en", "s1", 70),
+            (a2, base + " alpha beta", "en", "s1", 75),
+            (b1, "totally different words about maritime navigation charts"
+                 " and coastal tides rising slowly", "en", "s1", 90),
+            (b2, "totally different words about maritime navigation charts"
+                 " and coastal tides rising quickly", "en", "s1", 95),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in near_dup_clusters(d, threshold=0.3).collect()}
+    assert rows[a1]["cluster_id"] == rows[a2]["cluster_id"] == a1
+    assert rows[b1]["cluster_id"] == rows[b2]["cluster_id"] == b1
+    assert rows[a1]["cluster_id"] != rows[b1]["cluster_id"]
+    assert rows[a1]["keeper_doc_id"] == a2  # longer doc wins
+    assert rows[b1]["keeper_doc_id"] == b2
+
+
 def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
     from kg.ops.similarity import brute_force_topk, ivf_topk
 

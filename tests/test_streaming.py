@@ -222,3 +222,28 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = spark.sql("SELECT text FROM dedup_sink").collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["hello [[Spark]]", "hi there", "something else"]
+
+    # key_cols scopes the dedup (ADVICE r3: the param was declared but
+    # unused): per-conv_id scoping keeps one copy of the duplicate text
+    # in EACH conversation
+    out2 = streaming_exact_dedup(
+        transcript_stream(spark, stream_dir), key_cols=("conv_id",)
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("dedup_sink_scoped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql(
+        "SELECT conv_id, text FROM dedup_sink_scoped"
+    ).collect()
+    assert sorted((r["conv_id"], r["text"]) for r in got2) == [
+        ("c1", "hello [[Spark]]"),
+        ("c1", "hi there"),
+        ("c2", "hello [[Spark]]"),
+        ("c2", "something else"),
+    ]
