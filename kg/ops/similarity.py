@@ -233,34 +233,104 @@ def ivf_topk(
     )
 
 
+EMB_DEFAULT_MAX_BUCKET = 10_000
+EMB_TARGET_BUCKET = 1_024
+
+
+def resolve_n_planes(
+    embeddings: DataFrame,
+    n_planes: int | str,
+    target_bucket_size: int = EMB_TARGET_BUCKET,
+) -> int:
+    """``n_planes="auto"`` → planes ≈ log2(N / target_bucket): expected
+    bucket population N/2^planes lands near target_bucket_size instead of
+    a FIXED 2^6=64-way split whose buckets grow linearly with the corpus
+    (at 10^8 vectors a 64-bucket split makes the per-bucket self-join
+    Θ(N²/64) ≈ 10^14 pairs).  One bounded count; clamped to [1, 30]."""
+    if n_planes != "auto":
+        return int(n_planes)
+    import math
+
+    n = embeddings.count()
+    return max(1, min(30, math.ceil(math.log2(max(2, n / target_bucket_size)))))
+
+
+def _emb_blocks(
+    embeddings: DataFrame,
+    block_col: str | None,
+    n_planes: int | str,
+    dim: int,
+) -> DataFrame:
+    """(vec_id, _blk, v) block-keyed vectors (shared by the pair join and
+    the oversized-bucket audit so both see identical buckets)."""
+    if block_col is None:
+        planes = _hyperplane(dim, resolve_n_planes(embeddings, n_planes))
+        return embeddings.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("_blk", lsh_bucket(F.col("v"), planes))
+    return embeddings.select(
+        "vec_id",
+        F.col(block_col).alias("_blk"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+
+
+def embedding_oversized_buckets(
+    embeddings: DataFrame,
+    block_col: str | None = None,
+    n_planes: int | str = 6,
+    dim: int = 64,
+    max_bucket_size: int = EMB_DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(bucket, n_vecs) for blocks ABOVE the pair-explosion cap — exactly
+    the buckets embedding_near_dup_pairs drops.  Materialize alongside the
+    pairs for a drop audit (the cap must never be silent) — the same
+    contract as lsh_oversized_buckets (kg/ops/dedup.py)."""
+    return (
+        _emb_blocks(embeddings, block_col, n_planes, dim)
+        .groupBy(F.col("_blk").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket_size)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     block_col: str | None = None,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     dim: int = 64,
+    max_bucket_size: int | None = EMB_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim): embedding-cosine near-duplicate pairs.
 
     The dedup flavor of similarity search: pairs above a cosine threshold
     are duplicate candidates.  DEFAULT blocking (block_col=None) is the
-    sign-random-projection bucket from lsh_bucket — an actual geometric
-    quantization whose bucket population shrinks as ~1/2^n_planes of the
-    corpus, so the per-block self-join stays bounded at any scale.  A
-    metadata column (label/source) is an explicit opt-in only: one label
-    value can be corpus-sized, which re-creates the quadratic join.
+    sign-random-projection bucket from lsh_bucket — a geometric
+    quantization with expected bucket population N/2^n_planes (pass
+    ``n_planes="auto"`` to scale the split with the corpus, see
+    resolve_n_planes).  A metadata column (label/source) is an explicit
+    opt-in only: one label value can be corpus-sized, which re-creates
+    the quadratic join.
+
+    Hot-bucket cap: blocking alone does NOT bound the self-join — a
+    degenerate corpus (near-identical embeddings) puts everything in ONE
+    bucket regardless of n_planes, a Θ(N²) join from a single key.
+    Buckets above max_bucket_size are excluded via a map-combined count
+    + a broadcast anti-join (the oversized set is ≤ N/cap rows by
+    construction, so it always broadcasts); audit the drops with
+    embedding_oversized_buckets.  Such buckets are exact-dup territory —
+    run exact/minhash dedup first.  max_bucket_size=None disables.
     """
-    if block_col is None:
-        planes = _hyperplane(dim, n_planes)
-        e = embeddings.select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
-        ).withColumn("_blk", lsh_bucket(F.col("v"), planes))
-    else:
-        e = embeddings.select(
-            "vec_id",
-            F.col(block_col).alias("_blk"),
-            as_double(F.col("embedding")).alias("v"),
+    e = _emb_blocks(embeddings, block_col, n_planes, dim)
+    if max_bucket_size is not None:
+        oversized = (
+            e.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .where(F.col("n_vecs") > max_bucket_size)
+            .select("_blk")
         )
+        e = e.join(F.broadcast(oversized), "_blk", "left_anti")
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
