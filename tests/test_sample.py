@@ -106,3 +106,45 @@ def test_split_contamination_flags_cross_split_near_dups(spark):
     assert {r["doc_a"], r["doc_b"]} == {a, b}
     assert r["split_a"] != r["split_b"]
     assert r["jaccard"] >= 0.3
+
+
+def test_ngram_contamination_planted_substring_leak(spark):
+    """A 13-word span copied verbatim from a train doc into an eval doc
+    must light up that eval doc's contamination rate, while a clean eval
+    doc reports 0 — and a LOW-Jaccard doc pair still triggers (the
+    substring leak split_contamination's doc-level check misses)."""
+    from kg.ops.sample import ngram_overlap_contamination
+
+    span = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen")  # exactly 13 words → exactly one 13-gram
+    train_rows = [
+        (1, "lots of ordinary training prose here and then " + span +
+         " followed by much more unrelated filler text going on and on "
+         "for a while longer so the quoted span is a small fraction",
+         "en", "s", 300),
+        (2, "another train document with entirely different words", "en", "s", 60),
+    ]
+    eval_rows = [
+        # leaked: quotes the span verbatim inside otherwise-new text
+        (10, "fresh evaluation material surrounds " + span +
+         " plus novel closing words never seen in training data at all",
+         "en", "s", 250),
+        # clean: no 13-gram overlap
+        (11, "completely clean evaluation document whose words never "
+         "appear consecutively thirteen at a time anywhere in the "
+         "training corpus text", "en", "s", 150),
+        # too short for any 13-gram
+        (12, "short doc", "en", "s", 9),
+    ]
+    train = spark.createDataFrame(train_rows, DOCS_SCHEMA)
+    ev = spark.createDataFrame(eval_rows, DOCS_SCHEMA)
+    rows = {r["doc_id"]: r
+            for r in ngram_overlap_contamination(train, ev, n=13).collect()}
+    assert set(rows) == {10, 11, 12}
+    leaked, clean, short = rows[10], rows[11], rows[12]
+    assert leaked["n_contaminated"] >= 1
+    assert leaked["contamination_rate"] > 0.0
+    # only the quoted span overlaps, not the whole doc
+    assert leaked["n_contaminated"] < leaked["n_ngrams"]
+    assert clean["n_contaminated"] == 0 and clean["contamination_rate"] == 0.0
+    assert short["n_ngrams"] == 0 and short["contamination_rate"] == 0.0
