@@ -154,6 +154,86 @@ def connected_components(
     return mapping
 
 
+def update_connected_components(
+    prev_mapping: DataFrame | None,
+    delta_edges: DataFrame,
+    max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Incremental CC: compose an existing (node, canonical_id) mapping
+    with a DELTA edge set, running the fixpoint ONLY on the contracted
+    delta graph (VERDICT r3 item 5 — the full-recompute path paid
+    O(|all aliases ever|) per micro-batch).
+
+    Algebra: map each delta endpoint through the previous mapping
+    (absent ⇒ itself), drop edges that contract to self-loops (both
+    endpoints already in one component), and run connected_components on
+    what remains — a graph whose node set is bounded by 2·|delta|, not
+    the alias history.  Because every previous representative is the MIN
+    of its component, the contracted fixpoint's min-representative is
+    the true global min, so composing (old rep → new rep, plus
+    newly-seen nodes) reproduces EXACTLY the mapping a full recompute
+    would build (asserted in tests/test_canonicalize.py).
+
+    The returned mapping is normalized to non-identity rows (node ≠
+    canonical_id) — apply_canonical_map's coalesce supplies identity —
+    which keeps the state table at one row per MERGED node rather than
+    per node ever seen.  The contracted-component mapping is broadcast
+    when it fits (it is delta-sized); the composition join against the
+    big previous mapping is then map-side, no shuffle of the state.
+
+    Callers iterating this per micro-batch should localCheckpoint() the
+    result each round to truncate the growing composition lineage.
+    """
+    if prev_mapping is None:
+        full = connected_components(delta_edges, max_iter, small_graph_threshold)
+        return full.where(F.col("node") != F.col("canonical_id"))
+    m = prev_mapping.where(F.col("node") != F.col("canonical_id"))
+    ms = m.select(F.col("node").alias("src"), F.col("canonical_id").alias("_sc"))
+    md = m.select(F.col("node").alias("dst"), F.col("canonical_id").alias("_dc"))
+    contracted = (
+        delta_edges.select("src", "dst")
+        .join(ms, "src", "left")
+        .join(md, "dst", "left")
+        .select(
+            F.coalesce("_sc", F.col("src")).alias("src"),
+            F.coalesce("_dc", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    c = connected_components(contracted, max_iter, small_graph_threshold).where(
+        F.col("node") != F.col("canonical_id")
+    )
+    c = c.select(
+        F.col("node").alias("rep"), F.col("canonical_id").alias("new_rep")
+    )
+    if _fits_broadcast(c, None):
+        c = F.broadcast(c)
+    updated = (
+        m.join(c, m["canonical_id"] == c["rep"], "left")
+        .select(
+            "node", F.coalesce("new_rep", "canonical_id").alias("canonical_id")
+        )
+    )
+    # nodes first merged by this delta: contracted-graph nodes without a
+    # previous non-identity entry (old reps land here too when their
+    # component gains a smaller min)
+    new_nodes = (
+        contracted.select(F.col("src").alias("node"))
+        .unionByName(contracted.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(m.select("node"), "node", "left_anti")
+    )
+    added = (
+        new_nodes.join(c, new_nodes["node"] == c["rep"], "left")
+        .select("node", F.coalesce("new_rep", F.col("node")).alias("canonical_id"))
+    )
+    return (
+        updated.unionByName(added)
+        .where(F.col("node") != F.col("canonical_id"))
+    )
+
+
 def _fits_broadcast(df: DataFrame, threshold: int | None) -> bool:
     """Row-count gate for broadcast decisions: one cheap limit+count.
 
@@ -207,4 +287,8 @@ def apply_canonical_map(
     )
 
 
-__all__ = ["connected_components", "apply_canonical_map"]
+__all__ = [
+    "connected_components",
+    "update_connected_components",
+    "apply_canonical_map",
+]

@@ -233,6 +233,151 @@ def ivf_topk(
     )
 
 
+def _seed_centroid_matrix(e: DataFrame, n_cells: int):
+    """Deterministic seeds: the n_cells corpus vectors with the smallest
+    md5('ivf|'||vec_id) — same rule as ivf_topk, as a numpy matrix."""
+    import numpy as np
+
+    hk = F.md5(
+        F.concat(F.lit("ivf|"), F.col("vec_id").cast("string")).cast("binary")
+    )
+    rows = e.withColumn("hk", hk).orderBy("hk", "vec_id").limit(n_cells).collect()
+    return np.array([[float(x) for x in r["v"]] for r in rows], dtype="float64")
+
+
+def assign_cells(embeddings: DataFrame, centroids) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment at PRODUCTION cell
+    counts (VERDICT r3 item 7).  The 16-cell ivf_topk inlines centroids
+    as literal array folds — interpreted HOF evaluation, linear in
+    n_cells per row, unusable at 4096.  Here the centroid matrix is a
+    broadcast variable and each Arrow batch scores against it with ONE
+    numpy matmul (BLAS): O(dim·n_cells) flops per row but vectorized,
+    map-only, no shuffle, no per-row Python.  Broadcast size is
+    n_cells×dim floats (4096×1024×8B = 32 MB — executor-safe).
+    Cosine argmax is probe-norm-invariant, so rows are scored against
+    norm-scaled centroids; ties break to the lowest cell id (numpy
+    argmax takes the first maximum).
+
+    At 10^9+ rows, materialize the result once with
+    kg.lineage.write_stage and reuse it across probe batches and
+    k-means iterations — assignment is the scan-dominant step.
+    """
+    import numpy as np
+    import pandas as pd
+
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    scaled = (centroids / norms[:, None]).T  # dim × n_cells
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(scaled)
+
+    def _assign(it):
+        m = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy())
+            cell = (v @ m).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "v": pdf["v"].values,
+                 "cell": cell.astype("int32")}
+            )
+
+    return embeddings.select("vec_id", "v").mapInPandas(
+        _assign, schema="vec_id long, v array<double>, cell int"
+    )
+
+
+def kmeans_refine(embeddings: DataFrame, centroids, iters: int = 2):
+    """Deterministic Lloyd refinement of the seed centroids: assign
+    (assign_cells) → per-cell mean → repeat.  The mean is computed
+    JVM-side (posexplode + avg per (cell, position)) and collected —
+    n_cells·dim rows (4096×1024 ≈ 4M, driver-safe); an emptied cell
+    keeps its previous centroid.  Seeds and assignment are
+    deterministic; the float mean varies only in low-order bits with
+    aggregation order, which moves no assignment in practice and is
+    irrelevant to the recall measurements this feeds (no SQL oracle
+    claims bit-equality over the refined centroids)."""
+    import numpy as np
+
+    cents = centroids.copy()
+    for _ in range(iters):
+        a = assign_cells(embeddings, cents)
+        rows = (
+            a.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_topk_at_scale(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_cells: int = 4096,
+    n_probe: int = 64,
+    kmeans_iters: int = 0,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k at production cell counts: matmul-assigned
+    cells (assign_cells), optional k-means refinement, probe fan-out to
+    the n_probe nearest cells, exact cosine re-rank of the candidates.
+
+    vs ivf_topk (the 16-cell oracle-checked variant — unchanged): same
+    semantics, different physics — assignment is a broadcast matmul
+    instead of literal-inlined folds, and the cell column can be
+    precomputed once (pass ``cells``, e.g. read back from a
+    write_stage'd parquet) so repeated probe batches pay only the
+    candidate join: shuffle-free scan of ~n_probe/n_cells of the corpus
+    per probe, exactly the IVF contract.
+    """
+    import numpy as np
+
+    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = _seed_centroid_matrix(e, n_cells)
+    if kmeans_iters:
+        cents = kmeans_refine(e, cents, kmeans_iters)
+    if cells is None:
+        cells = assign_cells(e, cents)
+    # probe-side: nearest cells from the (driver-resident) centroid matrix
+    probes = e.where(F.col("vec_id").isin(probe_ids)).collect()
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    scaled = (cents / norms[:, None]).T
+    probe_rows = []
+    for r in probes:
+        v = np.array(r["v"], dtype="float64")
+        order = np.argsort(-(v @ scaled), kind="stable")[:n_probe]
+        probe_rows.extend(
+            (int(r["vec_id"]), [float(x) for x in r["v"]], int(c)) for c in order
+        )
+    spark = embeddings.sparkSession
+    pdf = spark.createDataFrame(
+        probe_rows, "probe_id long, pv array<double>, cell int"
+    )
+    cand = cells.join(
+        F.broadcast(pdf),
+        (cells["cell"] == pdf["cell"]) & (cells["vec_id"] != pdf["probe_id"]),
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 EMB_DEFAULT_MAX_BUCKET = 10_000
 EMB_TARGET_BUCKET = 1_024
 

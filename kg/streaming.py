@@ -76,16 +76,24 @@ def run_incremental(
 
     alias_pairs may be:
     - a str: a parquet DIRECTORY that may grow between micro-batches —
-      the alias CC mapping is re-derived at the start of EVERY batch, so
-      a pair arriving between triggers merges correctly from the next
+      the mapping is updated INCREMENTALLY at the start of every batch:
+      only alias files not yet seen are read, their edges are contracted
+      through the previous mapping, and the CC fixpoint runs on that
+      delta-sized graph alone (update_connected_components) — per-batch
+      alias work is proportional to the DELTA, not the alias history,
+      while the composed mapping stays bit-equal to a full recompute.
+      A pair arriving between triggers merges correctly from the next
       batch on (never silently linking against a stale mapping);
     - a DataFrame: an immutable SNAPSHOT — the mapping is computed once;
       by passing a DataFrame the caller asserts the alias set is static
       for the lifetime of this call.
 
-    Returns {"epochs": n, "edges": DataFrame}.  A restarted run resumes
-    from the checkpoint (offsets) — unprocessed files only.
+    Returns {"epochs": n, "edges": DataFrame, "cc_stats": [...]} where
+    cc_stats records per-epoch (n_new_alias_files, n_delta_edges) — the
+    observable evidence that batch work tracks the delta.  A restarted
+    run resumes from the checkpoint (offsets) — unprocessed files only.
     """
+    from kg.canonicalize import update_connected_components
     from kg.schema import ALIAS_PAIRS_SCHEMA
 
     triples_dir = os.path.join(out_dir, "canonical_triples_stream")
@@ -93,15 +101,39 @@ def run_incremental(
     alias_dir = alias_pairs if isinstance(alias_pairs, str) else None
     static_mapping = None if alias_dir else connected_components(alias_pairs)
     epochs: list[int] = []
+    cc_stats: list[dict] = []
+    seen_files: set[str] = set()
+    state = {"mapping": None}
+
+    def _alias_mapping(epoch_id: int) -> DataFrame:
+        files = sorted(
+            os.path.join(alias_dir, f)
+            for f in os.listdir(alias_dir)
+            if f.endswith(".parquet")
+        )
+        new = [f for f in files if f not in seen_files]
+        n_delta = 0
+        if new:
+            delta = spark.read.schema(ALIAS_PAIRS_SCHEMA).parquet(*new)
+            n_delta = delta.count()
+            # localCheckpoint: truncate the per-batch composition lineage
+            # AND pin the state against later mutation of the input files
+            state["mapping"] = update_connected_components(
+                state["mapping"], delta
+            ).localCheckpoint()
+            seen_files.update(new)
+        cc_stats.append(
+            {"epoch": int(epoch_id), "n_new_alias_files": len(new),
+             "n_delta_edges": int(n_delta)}
+        )
+        if state["mapping"] is None:
+            state["mapping"] = spark.createDataFrame(
+                [], "node string, canonical_id string"
+            )
+        return state["mapping"]
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        mapping = (
-            connected_components(
-                spark.read.schema(ALIAS_PAIRS_SCHEMA).parquet(alias_dir)
-            )
-            if alias_dir
-            else static_mapping
-        )
+        mapping = _alias_mapping(epoch_id) if alias_dir else static_mapping
         raw = extract_triples(batch_df)
         linked = link_triples(raw, catalog)
         canonical = apply_canonical_map(linked, mapping)
@@ -130,6 +162,7 @@ def run_incremental(
         return {
             "epochs": 0,
             "edges": spark.createDataFrame([], EDGES_SCHEMA),
+            "cc_stats": cc_stats,
         }
     triples = spark.read.parquet(triples_dir).drop("epoch")
     # provenance wiring for parity with the batch pipeline's edge table
@@ -138,6 +171,7 @@ def run_incremental(
     return {
         "epochs": len(epochs),
         "edges": build_edges(triples).unionByName(provenance_edges(spark)),
+        "cc_stats": cc_stats,
     }
 
 

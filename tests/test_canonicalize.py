@@ -98,3 +98,41 @@ def test_apply_canonical_map_shuffle_path_equals_broadcast(spark):
     assert "ResolvedHint" not in analyzed
     hinted = bcast._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in hinted
+
+
+def test_update_connected_components_matches_full_recompute(spark):
+    """Incremental composition over three deltas — including a LATER
+    delta that hands an existing component a smaller minimum (forcing a
+    representative remap) and a chain merge across two old components —
+    must equal a from-scratch CC over the union (VERDICT r3 item 5)."""
+    from kg.canonicalize import connected_components, update_connected_components
+
+    deltas = [
+        [("b", "c"), ("x", "y")],            # {b,c} rep b; {x,y} rep x
+        [("d", "e"), ("c", "d")],            # chain-merge → {b,c,d,e} rep b
+        [("a", "b"), ("y", "z")],            # smaller min 'a' remaps rep b→a
+    ]
+    m = None
+    seen = []
+    for d in deltas:
+        df = spark.createDataFrame(d, "src string, dst string")
+        m = update_connected_components(m, df).localCheckpoint()
+        seen += d
+        full = connected_components(
+            spark.createDataFrame(seen, "src string, dst string")
+        ).where("node <> canonical_id")
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+    got = dict(m.collect())
+    assert got == {"b": "a", "c": "a", "d": "a", "e": "a", "y": "x", "z": "x"}
+
+
+def test_update_connected_components_empty_and_noop_deltas(spark):
+    from kg.canonicalize import update_connected_components
+
+    df = lambda rows: spark.createDataFrame(rows, "src string, dst string")  # noqa: E731
+    m = update_connected_components(None, df([("m", "n")]))
+    # delta fully inside one existing component contracts to nothing
+    m2 = update_connected_components(m, df([("m", "n"), ("n", "m")]))
+    assert sorted(map(tuple, m2.collect())) == [("n", "m")]

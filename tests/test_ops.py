@@ -483,6 +483,89 @@ def test_near_dup_clusters_13_digit_doc_ids(spark):
     assert rows[b1]["keeper_doc_id"] == b2
 
 
+def test_ivf_at_scale_matches_brute_force_when_probing_all_cells(spark):
+    """The matmul-assignment path (production cell counts) must agree
+    with brute force when every cell is probed — exactness check for
+    assign_cells + the candidate join (VERDICT r3 item 7)."""
+    import random
+
+    from kg.ops.similarity import brute_force_topk, ivf_topk_at_scale
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = ivf_topk_at_scale(e, probe_ids=[0, 1, 2], k=5, n_cells=8, n_probe=8)
+    bf = brute_force_topk(e, probe_ids=[0, 1, 2], k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_recall_beats_lsh_on_clustered_vectors(spark):
+    """On CLUSTERED embeddings (ANN's realistic case — random vectors are
+    its worst case) IVF cells adapt to the data where hyperplane buckets
+    cannot: at EQUAL scan share (2/16 cells ≈ (3+1)/2^5 bucket share,
+    both 1/8 of the corpus) k-means-refined IVF recall must beat
+    multi-probe LSH recall (VERDICT r3 item 7)."""
+    import random
+
+    from kg.ops.similarity import brute_force_topk, ivf_topk_at_scale, lsh_topk
+
+    rng = random.Random(41)
+    dim, n_clusters, per = 16, 12, 25
+    rows = []
+    for c in range(n_clusters):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(per):
+            rows.append(
+                (c * per + j,
+                 [x + rng.gauss(0, 0.08) for x in center])
+            )
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [0, 25, 50, 75, 100, 125]  # first member of six clusters
+    k = 10
+    truth = {
+        p: set()
+        for p in probes
+    }
+    for r in brute_force_topk(e, probes, k=k).collect():
+        truth[r["probe_id"]].add(r["neighbor_id"])
+
+    def recall(df):
+        got = {p: set() for p in probes}
+        for r in df.collect():
+            got[r["probe_id"]].add(r["neighbor_id"])
+        return sum(len(got[p] & truth[p]) for p in probes) / (k * len(probes))
+
+    r_ivf = recall(
+        ivf_topk_at_scale(e, probes, k=k, n_cells=16, n_probe=2, kmeans_iters=2)
+    )
+    # LSH scan share with hamming=1: (n_planes+1)/2^n_planes = 4/32 = 1/8
+    r_lsh = recall(lsh_topk(e, probes, k=k, n_planes=5, dim=dim, hamming=1))
+    assert r_ivf > r_lsh
+    assert r_ivf >= 0.8  # clustered data: probing the right cells ≈ exact
+
+
+def test_ivf_at_scale_precomputed_cells_reused(spark):
+    """Passing a materialized cell assignment must give identical results
+    to recomputing it — the write_stage-reuse contract."""
+    import random
+
+    from kg.ops.similarity import (
+        _seed_centroid_matrix,
+        as_double,
+        assign_cells,
+        ivf_topk_at_scale,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cells = assign_cells(ev, _seed_centroid_matrix(ev, 4))
+    a = ivf_topk_at_scale(e, [1, 2], k=5, n_cells=4, n_probe=2, cells=cells)
+    b = ivf_topk_at_scale(e, [1, 2], k=5, n_cells=4, n_probe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
     from kg.ops.similarity import brute_force_topk, ivf_topk
 
