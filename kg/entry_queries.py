@@ -1945,6 +1945,98 @@ def sample_split_contamination(spark, sf_dir):
     )
 
 
+_PACK_SQL = f"""
+    d0 AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST({_hex2int_sql(
+                 "substring(md5('bkt|' || CAST(doc_id AS VARCHAR)), 1, 4)", 4
+             )} % 8 AS INT) AS bucket,
+             md5('pack|' || CAST(doc_id AS VARCHAR)) AS ok
+           FROM documents),
+    d AS (SELECT * FROM d0 WHERE n_tokens > 0),
+    c AS (SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+    packed AS (SELECT doc_id, bucket, n_tokens,
+             CAST(cum - n_tokens AS BIGINT) AS start_offset,
+             CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS start_chunk,
+             CAST(floor((cum - 1) / 256) AS BIGINT) AS end_chunk
+          FROM c)
+"""
+
+
+@_q(
+    "pack_chunk_assignments",
+    f"""
+    WITH {_PACK_SQL}
+    SELECT doc_id, bucket, n_tokens, start_offset, start_chunk, end_chunk,
+           CAST(end_chunk - start_chunk + 1 AS BIGINT) AS n_chunks
+    FROM packed
+    """,
+)
+def pack_chunk_assignments(spark, sf_dir):
+    """GPT-style concat-and-chunk packing assignment: per doc, which
+    fixed-256-token chunk(s) of its hash bucket it occupies.  One
+    exchange (the per-bucket cumsum window); deterministic across
+    engines — the oracle recomputes the identical concatenation order
+    and chunk arithmetic."""
+    from kg.ops.pack import pack_chunks
+
+    return pack_chunks(
+        _t(spark, sf_dir, "documents"), chunk_tokens=256, n_buckets=8
+    )
+
+
+@_q(
+    "pack_chunk_manifest",
+    f"""
+    WITH {_PACK_SQL},
+    x AS (SELECT bucket, n_tokens, start_offset,
+                 unnest(range(start_chunk, end_chunk + 1)) AS chunk_idx
+          FROM packed)
+    SELECT bucket, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(start_offset + n_tokens, (chunk_idx + 1) * 256)
+                    - greatest(start_offset, chunk_idx * 256)) AS BIGINT)
+             AS n_tokens
+    FROM x GROUP BY 1, 2
+    """,
+)
+def pack_chunk_manifest(spark, sf_dir):
+    """Per-chunk occupancy manifest (the shard index a training loader
+    reads): straddling docs contribute their token overlap to each chunk
+    they touch; every chunk except a bucket's last must hold exactly
+    chunk_tokens tokens (asserted in tests)."""
+    from kg.ops.pack import chunk_manifest, pack_chunks
+
+    return chunk_manifest(
+        pack_chunks(_t(spark, sf_dir, "documents"), chunk_tokens=256, n_buckets=8),
+        chunk_tokens=256,
+    )
+
+
+@_q(
+    "sample_capped_per_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {_sample_bucket_sql("doc_id", "cap")}, doc_id) <= 50
+    """,
+)
+def sample_capped_per_lang(spark, sf_dir):
+    """Deterministic per-stratum cap (at most 50 docs per language,
+    hash-ordered): growth-stable and engine-exact, unlike per-group
+    limit or sampleBy."""
+    from kg.ops.sample import top_n_per_stratum
+
+    return top_n_per_stratum(
+        _t(spark, sf_dir, "documents"), "lang", 50, "doc_id"
+    ).select("doc_id", "lang")
+
+
 @_q(
     "sample_ngram_contamination",
     f"""

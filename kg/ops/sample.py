@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _SPACE = 16**8  # decision space: first 8 hex chars of md5
 
@@ -179,6 +180,31 @@ def split_contamination(
         .withColumn("split_b", _split_of("doc_b"))
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
+
+
+def top_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per stratum — 'cap English at N docs' —
+    selected by the md5 order, so the kept set is deterministic across
+    runs/retries/engines and STABLE under corpus growth in the same way
+    as assign_splits: a new row can displace at most the current
+    marginal row, never reshuffle the whole cap (``df.limit`` per group
+    or ``sampleBy`` give neither property).  One window (rank within
+    stratum over the hash order); rate-based stratified_sample is the
+    right tool when the budget is a fraction rather than a count."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
     )
 
 

@@ -148,3 +148,74 @@ def test_ngram_contamination_planted_substring_leak(spark):
     assert leaked["n_contaminated"] < leaked["n_ngrams"]
     assert clean["n_contaminated"] == 0 and clean["contamination_rate"] == 0.0
     assert short["n_ngrams"] == 0 and short["contamination_rate"] == 0.0
+
+
+def test_pack_chunks_invariants(spark):
+    """Concat-and-chunk packing: offsets tile each bucket contiguously,
+    chunk spans match the offset arithmetic, straddling docs appear in
+    2+ chunks, zero-token docs are excluded, and the assignment is
+    invariant to input partitioning/order."""
+    from kg.ops.pack import chunk_manifest, pack_chunks
+
+    rows = [(i, "tok " * (i % 37 + 1), "en", "s", 10) for i in range(120)]
+    rows.append((900, "", "en", "s", 0))           # empty → excluded
+    rows.append((901, "   \t  ", "en", "s", 6))    # ws-only → excluded
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    L = 32
+    packed = pack_chunks(d, chunk_tokens=L, n_buckets=4).collect()
+    assert {r["doc_id"] for r in packed} == set(range(120))
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in rs:  # contiguous tiling, no gaps or overlaps
+            assert r["start_offset"] == pos
+            assert r["start_chunk"] == pos // L
+            assert r["end_chunk"] == (pos + r["n_tokens"] - 1) // L
+            assert r["n_chunks"] == r["end_chunk"] - r["start_chunk"] + 1
+            pos += r["n_tokens"]
+    assert any(r["n_chunks"] >= 2 for r in packed)  # straddles exist
+
+    # manifest: every chunk except each bucket's last holds exactly L
+    man = chunk_manifest(
+        pack_chunks(d, chunk_tokens=L, n_buckets=4), chunk_tokens=L
+    ).collect()
+    last = {}
+    for r in man:
+        last[r["bucket"]] = max(last.get(r["bucket"], -1), r["chunk_idx"])
+    for r in man:
+        if r["chunk_idx"] < last[r["bucket"]]:
+            assert r["n_tokens"] == L, r
+        else:
+            assert 0 < r["n_tokens"] <= L
+    # total tokens conserved
+    assert sum(r["n_tokens"] for r in man) == sum(r["n_tokens"] for r in packed)
+
+    # partitioning invariance
+    again = pack_chunks(
+        d.repartition(7).sortWithinPartitions("text"), chunk_tokens=L, n_buckets=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packed))
+
+
+def test_top_n_per_stratum_cap_and_growth_stability(spark):
+    from kg.ops.sample import top_n_per_stratum
+
+    rows = [(i, f"doc {i}", "en" if i % 3 else "de", "s", 10)
+            for i in range(300)]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    kept = top_n_per_stratum(d, "lang", 40, "doc_id").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 40 and len(by_lang["de"]) == 40
+    # growth: adding one row changes the kept set by AT MOST one swap
+    # within its own stratum
+    d2 = spark.createDataFrame(rows + [(999, "new", "en", "s", 10)], DOCS_SCHEMA)
+    kept2 = {r["doc_id"] for r in
+             top_n_per_stratum(d2, "lang", 40, "doc_id").collect()
+             if r["lang"] == "en"}
+    assert len(by_lang["en"] - kept2) <= 1
+    assert len(kept2) == 40
