@@ -219,3 +219,46 @@ def test_top_n_per_stratum_cap_and_growth_stability(spark):
              if r["lang"] == "en"}
     assert len(by_lang["en"] - kept2) <= 1
     assert len(kept2) == 40
+
+
+def test_top_n_per_stratum_two_phase_equals_one_phase(spark):
+    """The bucketed two-phase cap must keep EXACTLY the rows the naive
+    single-window form keeps (VERDICT r4 item 1 Done criterion)."""
+    from pyspark.sql.window import Window as W
+
+    from kg.ops.sample import _bucket, top_n_per_stratum
+
+    rows = [(i, f"doc {i}", ["en", "de", "es"][i % 3], "s", 10)
+            for i in range(2000)]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    for n in (1, 7, 40):
+        got = {(r["doc_id"], r["lang"])
+               for r in top_n_per_stratum(d, "lang", n, "doc_id").collect()}
+        w = W.partitionBy("lang").orderBy(
+            _bucket(F.col("doc_id"), "cap"), F.col("doc_id"))
+        ref = {(r["doc_id"], r["lang"]) for r in
+               d.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n).drop("_rn").collect()}
+        assert got == ref, f"n={n}: {len(got)} vs {len(ref)}"
+
+
+def test_top_n_per_stratum_no_single_task_stratum(spark):
+    """On a ONE-stratum corpus the phase-1 window must NOT funnel the
+    whole stratum through one task: its partition spec includes the salt
+    bucket, and rows spread across many buckets."""
+    from kg.ops.sample import top_n_per_stratum
+
+    rows = [(i, f"doc {i}", "en", "s", 10) for i in range(5000)]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = top_n_per_stratum(d, "lang", 10, "doc_id", n_buckets=16)
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two windows; the first (inner) one is partitioned by the salt bucket
+    assert plan.count("Window") >= 2
+    assert "pmod(xxhash64" in plan
+    # per-bucket distribution: no phase-1 window partition receives the
+    # full stratum (bound is |stratum|/B up to hash variance)
+    sb = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(16))
+    counts = [r["c"] for r in
+              d.groupBy(sb.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(counts) == 16 and max(counts) < 5000 / 4
