@@ -291,15 +291,17 @@ def assign_cells(embeddings: DataFrame, centroids) -> DataFrame:
 def kmeans_refine(embeddings: DataFrame, centroids, iters: int = 2):
     """Deterministic Lloyd refinement of the seed centroids: assign
     (assign_cells) → per-cell mean → repeat.  The mean is computed
-    JVM-side (posexplode + avg per (cell, position)) and collected —
-    n_cells·dim rows (4096×1024 ≈ 4M, driver-safe); an emptied cell
-    keeps its previous centroid.  Seeds and assignment are
+    JVM-side (posexplode + avg per (cell, position)), then REASSEMBLED
+    into one array per cell before the collect (array_sort over
+    (pos, m) structs — pos is unique so the sort is by position), so
+    the driver receives n_cells ROWS, not n_cells·dim scalar Rows
+    (4096×1024 would be 4.2M Row objects — multi-GB of Python object
+    overhead for 32 MB of payload; VERDICT r4 item 5).  An emptied
+    cell keeps its previous centroid.  Seeds and assignment are
     deterministic; the float mean varies only in low-order bits with
     aggregation order, which moves no assignment in practice and is
     irrelevant to the recall measurements this feeds (no SQL oracle
     claims bit-equality over the refined centroids)."""
-    import numpy as np
-
     cents = centroids.copy()
     for _ in range(iters):
         a = assign_cells(embeddings, cents)
@@ -307,11 +309,13 @@ def kmeans_refine(embeddings: DataFrame, centroids, iters: int = 2):
             a.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
             .collect()
         )
         new = cents.copy()
         for r in rows:
-            new[r["cell"]][r["pos"]] = r["m"]
+            new[r["cell"]] = [s["m"] for s in r["ms"]]
         cents = new
     return cents
 
@@ -324,6 +328,7 @@ def ivf_topk_at_scale(
     n_probe: int = 64,
     kmeans_iters: int = 0,
     cells: DataFrame | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k at production cell counts: matmul-assigned
     cells (assign_cells), optional k-means refinement, probe fan-out to
@@ -336,14 +341,39 @@ def ivf_topk_at_scale(
     write_stage'd parquet) so repeated probe batches pay only the
     candidate join: shuffle-free scan of ~n_probe/n_cells of the corpus
     per probe, exactly the IVF contract.
+
+    Precomputed ``cells`` MUST come with the centroid matrix they were
+    assigned against (``centroids``) — probe-side nearest-cell selection
+    uses that same matrix, and a mismatch silently degrades recall
+    (ADVICE r4).  When ``cells`` is supplied, no refinement runs here
+    (the refinement that produced the centroids happened before the
+    cells were materialized); passing ``kmeans_iters`` with ``cells``
+    but WITHOUT the matching ``centroids`` is rejected rather than
+    silently re-deriving a different matrix.
     """
     import numpy as np
 
     e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    cents = _seed_centroid_matrix(e, n_cells)
-    if kmeans_iters:
-        cents = kmeans_refine(e, cents, kmeans_iters)
-    if cells is None:
+    if cells is not None:
+        if centroids is None:
+            if kmeans_iters:
+                raise ValueError(
+                    "cells precomputed against refined centroids: pass the "
+                    "refined centroid matrix via centroids= (re-running "
+                    "kmeans here would rebuild a DIFFERENT matrix and "
+                    "silently mis-route probes)"
+                )
+            cents = _seed_centroid_matrix(e, n_cells)
+        else:
+            cents = np.asarray(centroids, dtype="float64")
+    else:
+        cents = (
+            np.asarray(centroids, dtype="float64")
+            if centroids is not None
+            else _seed_centroid_matrix(e, n_cells)
+        )
+        if kmeans_iters:
+            cents = kmeans_refine(e, cents, kmeans_iters)
         cells = assign_cells(e, cents)
     # probe-side: nearest cells from the (driver-resident) centroid matrix
     probes = e.where(F.col("vec_id").isin(probe_ids)).collect()
