@@ -90,6 +90,16 @@ def build_edges(
             encode_ids = canonical_triples.limit(thr + 1).count() > thr
         else:
             encode_ids = mode == "true"
+    t = _normalize_triples(canonical_triples)
+    if encode_ids:
+        return _edges_from_encoded(t)
+    return finalize_edge_state(_edge_state_agg(t))
+
+
+def _normalize_triples(canonical_triples: DataFrame) -> DataFrame:
+    """build_edges steps 1-3: drop alias-merge self-loops, apply the D3
+    direction flips, canonicalize D2 symmetric edges — pure projections,
+    no shuffle."""
     t = canonical_triples.where(F.col("subj_id") != F.col("obj_id"))
 
     flipped = F.col("pred").isin(*REVERSED_PREDICATES.keys())
@@ -106,7 +116,7 @@ def build_edges(
     )
 
     sym = F.col("rel_type").isin(*SYMMETRIC_PREDICATES)
-    t = t.select(
+    return t.select(
         "conv_id",
         "turn_idx",
         "span_start",
@@ -114,15 +124,57 @@ def build_edges(
         "rel_type",
         F.when(sym, F.greatest("src", "dst")).otherwise(F.col("dst")).alias("dst"),
     )
-    if encode_ids:
-        return _edges_from_encoded(t)
 
-    agg = t.groupBy("src", "rel_type", "dst").agg(
+
+def _edge_state_agg(t: DataFrame) -> DataFrame:
+    """(src, rel_type, dst, stoichiometry, first_occ) from NORMALIZED
+    (flip/symmetry-applied) triple rows — the A1 aggregation."""
+    return t.groupBy("src", "rel_type", "dst").agg(
         F.count(F.lit(1)).cast("int").alias("stoichiometry"),
         F.min(F.struct("conv_id", "turn_idx", "span_start")).alias("first_occ"),
     )
+
+
+def edge_partials(canonical_triples: DataFrame) -> DataFrame:
+    """The MERGEABLE aggregation state of build_edges over a triple
+    DELTA: (src, rel_type, dst, stoichiometry, first_occ).
+
+    stoichiometry merges across deltas by SUM and first_occ by MIN, so
+    per-epoch partials composed with merge_edge_state followed by
+    finalize_edge_state equal build_edges over the concatenated triples
+    — the algebra behind incremental edge compaction (VERDICT r4 item
+    3; reference analog: the deferred-constraints finalize,
+    ReactomeBatchImporter.java:170).  Same flip/symmetry normalization
+    and self-loop drop as build_edges (its steps 1-4)."""
+    return _edge_state_agg(_normalize_triples(canonical_triples))
+
+
+def merge_edge_state(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a delta's edge partials into the persistent edge state: one
+    shuffle over (state + delta) keyed rows — O(edges + delta), never
+    O(triple history).  With the state table bucketed on the keys
+    (kg/lineage.write_stage_bucketed) the state side's exchange
+    disappears entirely."""
+    if state is None:
+        return delta
+    return (
+        state.select("src", "rel_type", "dst", "stoichiometry", "first_occ")
+        .unionByName(delta.select("src", "rel_type", "dst", "stoichiometry", "first_occ"))
+        .groupBy("src", "rel_type", "dst")
+        .agg(
+            F.sum("stoichiometry").cast("int").alias("stoichiometry"),
+            F.min("first_occ").alias("first_occ"),
+        )
+    )
+
+
+def finalize_edge_state(state: DataFrame) -> DataFrame:
+    """Edge state → the final kg.edges shape: the W1 order window (rank
+    within (src, rel_type) by (first_occ, dst)) + projection.  Runs over
+    EDGES (already aggregated), not triples — the cheap tail of the
+    incremental path."""
     w = Window.partitionBy("src", "rel_type").orderBy(F.col("first_occ"), F.col("dst"))
-    return agg.select(
+    return state.select(
         "src",
         "dst",
         "rel_type",
@@ -539,6 +591,9 @@ def input_snapshot_checksum(spark: SparkSession, df: DataFrame) -> str:
 
 __all__ = [
     "build_edges",
+    "edge_partials",
+    "merge_edge_state",
+    "finalize_edge_state",
     "build_nodes",
     "db_info_node",
     "provenance_nodes",

@@ -278,3 +278,53 @@ def test_incremental_cc_work_is_delta_proportional(
     assert stats[0]["n_delta_edges"] == 200      # history paid once
     assert stats[1]["n_new_alias_files"] == 0
     assert stats[1]["n_delta_edges"] == 0        # later batches: delta only
+
+
+def test_incremental_edge_compaction_is_delta_proportional(
+    spark, transcripts_pdf, catalog_df, alias_pairs_df, tmp_path
+):
+    """Edge compaction reads ONLY the epoch's delta triples + the prior
+    edge-state snapshot (VERDICT r4 item 3): the final edges' plan scans
+    the edge-state parquet, not the accumulated triple history, and the
+    merged table equals a full build_edges rebuild over everything."""
+    from kg.materialize import build_edges, provenance_edges
+
+    stream_dir = str(tmp_path / "efeed")
+    out_dir = str(tmp_path / "eout")
+    # 8 files at maxFilesPerTrigger=4 ⇒ exactly 2 micro-batches
+    _write_chunks(transcripts_pdf, stream_dir, n_chunks=8)
+    res = run_incremental(spark, stream_dir, catalog_df, alias_pairs_df, out_dir)
+    assert res["epochs"] == 2 and len(res["edge_stats"]) == 2
+    for st in res["edge_stats"]:
+        assert st["n_delta_partials"] > 0
+
+    # (a) merged state ≡ full rebuild over the accumulated triples
+    triples = spark.read.parquet(
+        os.path.join(out_dir, "canonical_triples_stream")
+    ).drop("epoch")
+    full = build_edges(triples).unionByName(provenance_edges(spark))
+    assert _edges_key(res["edges"]).equals(_edges_key(full))
+
+    # (b) the returned edges read the edge STATE, never the triple history
+    files = res["edges"].inputFiles()
+    assert files and all("edge_state_stream" in f for f in files)
+    assert not any("canonical_triples_stream" in f for f in files)
+
+    # (c) a later drain with one new file merges just that delta: state
+    # grows, and the epoch-3 merge input is the delta + prior snapshot
+    late = transcripts_pdf.copy()
+    late["conv_id"] = late["conv_id"] + "-late"
+    late[late["conv_id"] < "conv-000005-late"].to_parquet(
+        os.path.join(stream_dir, "late.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    res2 = run_incremental(spark, stream_dir, catalog_df, alias_pairs_df, out_dir)
+    assert res2["epochs"] == 1 and len(res2["edge_stats"]) == 1
+    triples2 = spark.read.parquet(
+        os.path.join(out_dir, "canonical_triples_stream")
+    ).drop("epoch")
+    full2 = build_edges(triples2).unionByName(provenance_edges(spark))
+    assert _edges_key(res2["edges"]).equals(_edges_key(full2))
+    # the new epoch's delta is far smaller than the accumulated state
+    st = res2["edge_stats"][0]
+    assert 0 < st["n_delta_partials"] < st["n_state_edges"]
