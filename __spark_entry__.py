@@ -200,7 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Shared CTE fragments, parameterized by the fixture parquet paths.  Each
 # stage's SQL composes the previous stages' fragments, so kg_edges/kg_nodes
 # are the full pipeline re-derived in one (independent) SQL engine.
-_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+# whitespace class spelled explicitly (ADVICE r4; kg.extract.ASCII_WS_RE)
+_NORM = "regexp_replace(lower(trim({c})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 
 
 def _kg_sql_fragments(p: dict[str, str]) -> dict[str, str]:

@@ -196,9 +196,13 @@ def main() -> None:
         # Only the pandas extract impl reads this; the default pure-JVM
         # path has no python worker and ignores it.
         extra["spark.kg.extract.partitions"] = str(max(2, cpus // 2))
-    # A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" injects arbitrary confs
-    # (e.g. spark.kg.materialize.encodeIds=false for a control run)
-    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+    # A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" injects arbitrary confs
+    # (e.g. spark.kg.materialize.encodeIds=false for a control run).
+    # ';'-separated — ',' collides with multi-flag values like
+    # spark.executor.extraJavaOptions (ADVICE r4); ','-separated input
+    # still parses when no value contains a comma (legacy invocations).
+    raw = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in raw.split(";" if ";" in raw else ","):
         if "=" in kv:
             k, v = kv.split("=", 1)
             extra[k.strip()] = v.strip()

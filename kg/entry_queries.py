@@ -467,7 +467,7 @@ def p22_url_templating(spark, sf_dir):
     SELECT p_partkey,
            coalesce(CASE WHEN p_size > 25 THEN NULL
                          ELSE lower(replace(p_brand, '#', '.')) END,
-                    lower(regexp_replace(p_type, '[\\s:]', '.', 'g')))
+                    lower(regexp_replace(p_type, '[ \\t\\n\\x0B\\f\\r:]', '.', 'g')))
              || ':' || CAST(p_partkey AS VARCHAR) AS curie
     FROM part
     """,
@@ -479,7 +479,7 @@ def p23_curie_minting(spark, sf_dir):
     primary = F.when(F.col("p_size") > 25, F.lit(None)).otherwise(
         F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit(".")))
     )
-    fallback = F.lower(F.regexp_replace("p_type", r"[\s:]", "."))
+    fallback = F.lower(F.regexp_replace("p_type", r"[ \t\n\x0B\f\r:]", "."))
     return p.select(
         "p_partkey",
         F.concat(
@@ -602,7 +602,10 @@ def oracle_sql() -> dict[str, str]:
 # =========================================================================
 # E. Training-data pipeline ops (dedup / similarity / text analysis)
 # =========================================================================
-_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+# whitespace class spelled explicitly in both engines (ADVICE r4;
+# mirrors kg.extract.ASCII_WS_RE)
+_WS_SQL = '[ \\t\\n\\x0B\\f\\r]+'
+_WORDS_SQL = f"list_filter(string_split_regex(lower(text), '{_WS_SQL}'), x -> x <> '')"
 _SHINGLES_SQL = (
     "CASE WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), "
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) ELSE [] END"
@@ -904,7 +907,7 @@ def text_lang_id(spark, sf_dir):
     "text_token_count",
     """
     SELECT doc_id,
-      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
            AS BIGINT) AS n_tokens
     FROM documents
     """,
@@ -941,7 +944,7 @@ def text_quality_score(spark, sf_dir):
     "text_doc_fingerprint",
     """
     SELECT doc_id,
-      md5(substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64))
+      md5(substring(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), 1, 64))
         AS fingerprint
     FROM documents
     """,
@@ -1947,7 +1950,7 @@ def sample_split_contamination(spark, sf_dir):
 
 _PACK_SQL = f"""
     d0 AS (SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens,
              CAST({_hex2int_sql(
                  "substring(md5('bkt|' || CAST(doc_id AS VARCHAR)), 1, 4)", 4

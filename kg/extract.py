@@ -45,6 +45,12 @@ MENTION_RE = re.compile(r"\[\[(.*?)\]\]")
 ASCII_WS = " \t\n\r\f\x0b"
 # Java/RE2 character class for "some non-ASCII-whitespace char exists"
 NONBLANK_RE = r"[^ \t\n\x0B\f\r]"
+# Whitespace RUN for tokenization/normalization, spelled explicitly in
+# BOTH engines (ADVICE r4): Java \s is exactly this class, but RE2's \s
+# coverage of \x0B is version-dependent — an implicit '\s+' in a DuckDB
+# oracle can disagree with the Spark split on text containing a vertical
+# tab.  Valid as-is in Java regex, RE2, and Python re.
+ASCII_WS_RE = r"[ \t\n\x0B\f\r]+"
 # Java regex: (?d) = UNIX_LINES, so '.' excludes only \n — matching
 # Python re and RE2 (default Java '.' excludes \r and U+2028/2029 too,
 # silently dropping mentions like [[x\ry]] from the SQL path only).

@@ -35,7 +35,9 @@ def norm_key(col: Column) -> Column:
     """Blocking-key normalization, JVM-side (whole-stage codegen):
     lower → trim → collapse internal whitespace.  Must match
     kg.synth.norm_surface / the oracle exactly."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    from kg.extract import ASCII_WS_RE
+
+    return F.regexp_replace(F.trim(F.lower(col)), ASCII_WS_RE, " ")
 
 
 def build_link_index(catalog: DataFrame) -> DataFrame:

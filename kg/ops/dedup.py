@@ -30,9 +30,12 @@ SHINGLE_K = 3
 
 
 def words(text: Column) -> Column:
-    """lower → split on whitespace → drop empties (matches the DuckDB
-    oracle's list_filter(string_split_regex(...)))."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    """lower → split on an explicit ASCII-whitespace run → drop empties
+    (matches the DuckDB oracle's list_filter(string_split_regex(...));
+    the class is spelled out in both engines — ADVICE r4)."""
+    from kg.extract import ASCII_WS_RE
+
+    return F.filter(F.split(F.lower(text), ASCII_WS_RE), lambda w: w != "")
 
 
 def shingles_of(w: Column, k: int = SHINGLE_K) -> Column:

@@ -60,20 +60,31 @@ def decode_image_dims(payload: bytes | None) -> tuple[str, int, int] | None:
         return ("gif", w, h)
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 return None
-            marker = payload[i + 1]
+            # spec-legal padding: any number of 0xFF fill bytes may
+            # precede the marker byte (ITU T.81 B.1.1.2) — skip them
+            j = i + 1
+            while j < n and payload[j] == 0xFF:
+                j += 1
+            if j >= n:
+                return None
+            marker = payload[j]
+            if marker == 0xD9:  # EOI — end of stream, no SOF found;
+                return None     # trailing bytes after it are not segments
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
-                i += 2
+                i = j + 1
                 continue
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if j + 3 > n:
+                return None
+            seg_len = struct.unpack(">H", payload[j + 1 : j + 3])[0]
             if marker in _JPEG_SOF:
-                if i + 9 > n:
+                if j + 8 > n:
                     return None
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                h, w = struct.unpack(">HH", payload[j + 4 : j + 8])
                 return ("jpeg", w, h)
-            i += 2 + seg_len
+            i = j + 1 + seg_len
         return None
     return None
 

@@ -35,10 +35,13 @@ from pyspark.sql.window import Window
 
 
 def whitespace_token_count(text: Column) -> Column:
-    """Whitespace token count (same rule as kg/ops/text.py token_count,
+    """Whitespace token count (same rule as kg/ops/text.py quality_score,
     and the DuckDB oracle's len(list_filter(string_split_regex(...)))):
-    split on \\s+, drop empties."""
-    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    split on an ASCII-whitespace run, drop empties.  The class is spelled
+    explicitly (kg.extract.ASCII_WS_RE) in both engines — ADVICE r4."""
+    from kg.extract import ASCII_WS_RE
+
+    return F.size(F.filter(F.split(text, ASCII_WS_RE), lambda t: t != ""))
 
 
 def pack_chunks(

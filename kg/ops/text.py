@@ -6,8 +6,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kg.extract import ASCII_WS_RE
+
 # BPE-ish token pattern: alnum runs OR single non-alnum-non-space marks.
-TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"  # \s spelled out (ADVICE r4)
 
 # Stopword marker sets for the language heuristic (argmax of hits;
 # deterministic tiebreak by the CASE order: en > de > es).  Genuine
@@ -55,7 +57,7 @@ def token_count(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_uniq_tokens, len_chars, quality): integer
     quality features + 0-3 bucket (length / vocabulary-diversity gates)."""
-    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    w = F.filter(F.split(F.lower("text"), ASCII_WS_RE), lambda x: x != "")
     d = docs.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
@@ -75,7 +77,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): md5 of the first 64 chars of the
     whitespace-normalized lowered text — a cheap prefix fingerprint for
     boilerplate detection."""
-    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.lower("text"), ASCII_WS_RE, " ")
     return docs.select(
         "doc_id",
         F.md5(F.substring(norm, 1, 64).cast("binary")).alias("fingerprint"),
@@ -93,7 +95,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     key on doc_id — uniform, skew-free at any corpus size.
     """
     # materialize the words column once: Catalyst does not CSE inside HOFs
-    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    w = F.filter(F.split(F.lower("text"), ASCII_WS_RE), lambda x: x != "")
     base = docs.withColumn("w", w).select(
         "doc_id",
         F.size("w").cast("long").alias("n_words"),

@@ -768,6 +768,15 @@ def test_decode_image_dims_hand_crafted_headers():
     assert decode_image_dims(png[:20]) is None        # truncated IHDR
     assert decode_image_dims(b"\xff\xd8" + app0) is None  # no SOF
     assert decode_image_dims(b"\xff\xd8\x00\x00") is None  # bad marker
+    # ADVICE r4: EOI terminates the walk — trailer bytes after 0xD9 must
+    # not be parsed as segments (and never crash the walk)
+    trailer = b"\xff\xd8" + app0 + b"\xff\xd9" + b"EXIF junk trailer \xff\x00"
+    assert decode_image_dims(trailer) is None
+    with_trailer_sof = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9" + b"garbage"
+    assert decode_image_dims(with_trailer_sof) == ("jpeg", 640, 480)
+    # ADVICE r4: spec-legal 0xFF fill-byte padding before a marker
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0[1:] + b"\xff\xff" + sof0[1:]
+    assert decode_image_dims(padded) == ("jpeg", 640, 480)
 
 
 def test_synthetic_payload_roundtrip_through_real_parser(spark):
