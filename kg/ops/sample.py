@@ -228,8 +228,69 @@ def top_n_per_stratum(
     )
 
 
+def _bloom_words(grams: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
+    """(word_idx, word): Bloom-filter bitmap over ``grams[col]`` as 64-bit
+    words, built with ONE map-combined bit_or aggregation — the exchange
+    carries at most m_bits/64 rows per map partition (the partial OR
+    collapses every gram to its touched words map-side), never the gram
+    stream itself.  Hash i is xxhash64(value, i) — seeded by an extra
+    hashed column, deterministic across runs and partitionings."""
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    return (
+        grams.select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("word_idx"),
+            # SQL form: the Python shiftleft wrapper takes numBits as an
+            # int literal only, but the SQL function accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def _bloom_positives(
+    grams: DataFrame, col: str, words: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """Rows of ``grams`` whose value is bloom-POSSIBLE: all k bits set.
+    The word table is ≤ m_bits/64 rows — broadcast — so the probe is a
+    map-side join + one small regroup on the probe rows only."""
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    cols = grams.columns
+    probed = (
+        grams.withColumn("_ps", pos)
+        .select(*cols, F.posexplode("_ps").alias("_i", "p"))
+        .withColumn("word_idx", (F.col("p") / 64).cast("long"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            F.expr(
+                "CAST(shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+                " CAST(p % 64 AS INT)) % 2 != 0 AS INT)"
+            ),
+        )
+        .groupBy(*cols)
+        .agg(F.sum("_hit").alias("_nhit"))
+    )
+    return probed.where(F.col("_nhit") == k).drop("_nhit")
+
+
 def ngram_overlap_contamination(
-    train_docs: DataFrame, eval_docs: DataFrame, n: int = 13
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    bloom_fpp: float | None = None,
+    bloom_max_bits: int = 1 << 26,
 ) -> DataFrame:
     """(doc_id, n_ngrams, n_contaminated, contamination_rate) per EVAL
     doc: the share of its distinct word n-grams that appear anywhere in
@@ -248,15 +309,29 @@ def ngram_overlap_contamination(
     gram set once (map-side partial dedup first); the per-doc hit count
     is a left-semi join on the hash — near-unique keys, no skew; eval
     docs with fewer than n words report 0/0 with rate 0.0.
+
+    ``bloom_fpp`` (opt-in, VERDICT r4 item 6): at a 10^13-gram train
+    corpus the EXACT path's global train-gram distinct is the dominant
+    cost — it shuffles every gram hash once.  The bloom path never
+    shuffles the train gram stream at all: (1) a Bloom bitmap over the
+    train gram hashes is built with one map-combined bit_or aggregation
+    (exchange = bitmap words, not grams); (2) eval grams are pruned to
+    bloom-positives against the broadcast bitmap (map-side); (3) the
+    surviving candidates — eval-corpus-sized at worst, usually tiny —
+    broadcast into ONE map-only pass over the raw train grams, and only
+    the matched hashes (≤ candidates) are distinct'd.  Because bloom
+    false positives are re-verified by that exact equality pass, the
+    result is IDENTICAL to the exact path (the bloom can only fail to
+    prune, never to find — one-sided).  The exact path stays the
+    oracle-checked default; the bitmap is capped at ``bloom_max_bits``
+    (2^26 bits = 8 MB broadcast by default; at bigger train cardinality
+    the fpp degrades gracefully — more candidates, same exactness).
     """
     from kg.ops.dedup import with_shingles
 
     gh = F.md5(F.col("g").cast("binary")).alias("gh")
-    train_grams = (
-        with_shingles(train_docs, n)
-        .select(F.explode("sh").alias("g"))
-        .select(gh)
-        .distinct()
+    train_grams_raw = (
+        with_shingles(train_docs, n).select(F.explode("sh").alias("g")).select(gh)
     )
     eval_grams = (
         with_shingles(eval_docs, n)
@@ -267,10 +342,29 @@ def ngram_overlap_contamination(
     totals = eval_grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams")
     )
-    hits = (
-        eval_grams.join(train_grams, "gh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    if bloom_fpp is None:
+        hits_grams = eval_grams.join(
+            train_grams_raw.distinct(), "gh", "left_semi"
+        )
+    else:
+        import math
+
+        n_items = max(1, train_grams_raw.count())  # map-only, no shuffle
+        m_bits = int(-n_items * math.log(bloom_fpp) / (math.log(2) ** 2))
+        m_bits = min(max(m_bits, 64), bloom_max_bits)
+        k = max(1, round(m_bits / n_items * math.log(2)))
+        words = _bloom_words(train_grams_raw, "gh", m_bits, k)
+        cand = _bloom_positives(
+            eval_grams.select("gh").distinct(), "gh", words, m_bits, k
+        )
+        # exact re-verification: one map-only broadcast-semi pass over the
+        # raw train grams; distinct only over the matched (small) set
+        matched = (
+            train_grams_raw.join(F.broadcast(cand), "gh", "left_semi").distinct()
+        )
+        hits_grams = eval_grams.join(matched, "gh", "left_semi")
+    hits = hits_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
     )
     return (
         eval_docs.select("doc_id")

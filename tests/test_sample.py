@@ -150,6 +150,65 @@ def test_ngram_contamination_planted_substring_leak(spark):
     assert short["n_ngrams"] == 0 and short["contamination_rate"] == 0.0
 
 
+def test_ngram_contamination_bloom_prefilter(spark):
+    """The opt-in bloom path (VERDICT r4 item 6) must (a) return the
+    SAME rows as the exact path — bloom positives are re-verified by the
+    exact equality pass, so error is one-sided and then eliminated: rate
+    can never fall below exact — and (b) actually prune: on a mostly-
+    clean eval corpus the bloom-positive candidate set is far smaller
+    than the eval gram universe."""
+    import math
+
+    from kg.ops.dedup import with_shingles
+    from kg.ops.sample import (
+        _bloom_positives,
+        _bloom_words,
+        ngram_overlap_contamination,
+    )
+
+    # train: 40 docs of shared vocabulary; eval: 1 doc quoting a train
+    # trigram span + 30 clean docs with disjoint vocabulary
+    train_rows = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}", "en", "s", 50)
+        for i in range(40)
+    ]
+    eval_rows = [(100, "alpha7 beta7 gamma7 delta7 plus new tail", "en", "s", 40)]
+    eval_rows += [
+        (200 + i, f"zeta{i} eta{i} theta{i} iota{i} kappa{i}", "en", "s", 50)
+        for i in range(30)
+    ]
+    train = spark.createDataFrame(train_rows, DOCS_SCHEMA)
+    ev = spark.createDataFrame(eval_rows, DOCS_SCHEMA)
+
+    exact = sorted(map(tuple, ngram_overlap_contamination(train, ev, n=3).collect()))
+    bloom = sorted(
+        map(
+            tuple,
+            ngram_overlap_contamination(train, ev, n=3, bloom_fpp=0.01).collect(),
+        )
+    )
+    assert bloom == exact
+    r100 = [t for t in bloom if t[0] == 100][0]
+    assert r100[2] >= 1  # the quoted span still detected through the bloom
+
+    # candidate-volume reduction: clean-eval grams are pruned by the bloom
+    gh = F.md5(F.col("g").cast("binary")).alias("gh")
+    tg = with_shingles(train, 3).select(F.explode("sh").alias("g")).select(gh)
+    eg = (
+        with_shingles(ev, 3)
+        .select(F.explode("sh").alias("g"))
+        .select(gh)
+        .distinct()
+    )
+    n_items = tg.count()
+    m_bits = min(max(int(-n_items * math.log(0.01) / math.log(2) ** 2), 64), 1 << 26)
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    words = _bloom_words(tg, "gh", m_bits, k)
+    n_eval_grams = eg.count()
+    n_cand = _bloom_positives(eg, "gh", words, m_bits, k).count()
+    assert n_cand < n_eval_grams / 2  # most clean grams pruned map-side
+
+
 def test_pack_chunks_invariants(spark):
     """Concat-and-chunk packing: offsets tile each bucket contiguously,
     chunk spans match the offset arithmetic, straddling docs appear in
