@@ -80,13 +80,28 @@ def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
-    """(content_hash, keeper_doc_id, n_dups) per distinct content."""
+    """(content_hash, keeper_doc_id, n_dups) per distinct content.
+
+    The groupBy key travels as the 16-BYTE unhex'd digest and is
+    re-hexed only in the output projection (VERDICT r4 item 4): the
+    hex string is 32 chars — exactly double the bytes — through the
+    one exchange this operator performs, and unlike the rejected
+    surrogate-edge encoding the narrowing is free (no dictionary, no
+    decode join; lower(hex(unhex(md5))) == md5 bit-for-bit)."""
     return (
-        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
-        .groupBy("content_hash")
+        docs.select(
+            "doc_id",
+            F.unhex(F.md5(F.col("text").cast("binary"))).alias("ch"),
+        )
+        .groupBy("ch")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(
+            F.lower(F.hex("ch")).alias("content_hash"),
+            "keeper_doc_id",
+            "n_dups",
         )
     )
 
@@ -154,7 +169,15 @@ DEFAULT_MAX_BUCKET = 10_000
 def _lsh_buckets(
     docs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = 1
 ) -> DataFrame:
-    """(doc_id, band, mh) bucket membership rows."""
+    """(doc_id, band, mh) bucket membership rows.
+
+    mh is the 16-BYTE unhex'd band digest, not the 32-char hex string:
+    every downstream exchange (the bucket self-join, the oversized-
+    bucket count) keys on it, so the narrowing halves the hottest
+    dedup shuffle's key bytes map-side, for free (VERDICT r4 item 4).
+    The hex order and the byte order agree (lowercase fixed-width hex),
+    so min/join semantics are unchanged; signatures stay hex at the
+    minhash_signatures surface (a contract output)."""
     sig = minhash_signatures(docs, n_bands, rows_per_band)
     return (
         sig.select(
@@ -166,7 +189,7 @@ def _lsh_buckets(
                 ])
             ).alias("bk"),
         )
-        .select("doc_id", "bk.band", "bk.mh")
+        .select("doc_id", "bk.band", F.unhex("bk.mh").alias("mh"))
         .where(F.col("mh").isNotNull())
     )
 
@@ -185,6 +208,7 @@ def lsh_oversized_buckets(
         .groupBy("band", "mh")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > max_bucket_size)
+        .select("band", F.lower(F.hex("mh")).alias("mh"), "n_docs")
     )
 
 

@@ -329,7 +329,9 @@ def ngram_overlap_contamination(
     """
     from kg.ops.dedup import with_shingles
 
-    gh = F.md5(F.col("g").cast("binary")).alias("gh")
+    # 16-byte unhex'd digest as the join/distinct key: half the exchange
+    # bytes of the 32-char hex form, nothing else changes (item 4)
+    gh = F.unhex(F.md5(F.col("g").cast("binary"))).alias("gh")
     train_grams_raw = (
         with_shingles(train_docs, n).select(F.explode("sh").alias("g")).select(gh)
     )

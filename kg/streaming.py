@@ -334,7 +334,9 @@ def streaming_exact_dedup(
     deterministic, unlike sampling-based dedup).
     """
     hashed = stream.withColumn(
-        "content_hash", F.md5(F.col(content_col).cast("binary"))
+        # 16-byte digest key: halves both the dedup state entry and the
+        # exchange bytes vs the 32-char hex form (VERDICT r4 item 4)
+        "content_hash", F.unhex(F.md5(F.col(content_col).cast("binary")))
     ).withWatermark("ts", watermark)
     return hashed.dropDuplicatesWithinWatermark(
         [*key_cols, "content_hash"]
