@@ -281,6 +281,7 @@ def build_nodes(
     broadcast_threshold: int | None = None,
     top_level_ids: DataFrame | None = None,
     db_info: dict | None = None,
+    minted_names: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct canonical entities → typed, labeled node table.
 
@@ -344,6 +345,19 @@ def build_nodes(
         )
     )
     n = ids.join(_maybe_bcast(cat, _cat_small), "canonical_id", "left")
+    if minted_names is not None:
+        # Hashed-minted-id mode (spark.kg.link.hashedMintedIds): the id no
+        # longer embeds the surface, so the display name comes from the
+        # vocabulary dim carried once from linking (link_vocab).  Nodes are
+        # one row per entity — this join never touches the edge stream.
+        mn = minted_names.select("canonical_id", "minted_name")
+        n = n.join(
+            _maybe_bcast(mn, _fits_broadcast(mn, broadcast_threshold)),
+            "canonical_id",
+            "left",
+        )
+    else:
+        n = n.withColumn("minted_name", F.lit(None).cast("string"))
     n = n.withColumn(
         "schema_class",
         F.when(F.col("entity_type").isNotNull(), F.col("entity_type"))
@@ -353,11 +367,12 @@ def build_nodes(
         "display_name",
         F.coalesce(
             "canonical_name",
+            "minted_name",
             F.regexp_replace(
                 "canonical_id", f"^({MINTED_PREFIX}|{TOOL_ENTITY_PREFIX})", ""
             ),
         ),
-    )
+    ).drop("minted_name")
     n = n.join(labels_df, n["schema_class"] == labels_df["entity_type"], "left").drop(
         labels_df["entity_type"]
     )

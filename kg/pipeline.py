@@ -15,11 +15,12 @@ Two run modes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kg.canonicalize import apply_canonical_map, connected_components
 from kg.extract import extract_triples
 from kg.lineage import read_stage, stage_is_complete, write_stage
-from kg.link import link_triples
+from kg.link import HASHED_MINT_CONF, link_triples, link_vocab
 from kg.materialize import (
     build_edges,
     build_nodes,
@@ -32,6 +33,19 @@ from kg.materialize import (
 )
 
 STAGES = ("raw_triples", "linked_triples", "canonical_triples", "nodes", "edges")
+
+
+def _hashed_mint_on(spark: SparkSession) -> bool:
+    return str(spark.conf.get(HASHED_MINT_CONF, "false")).lower() == "true"
+
+
+def _minted_names(vocab: DataFrame) -> DataFrame:
+    """(canonical_id, minted_name) dim from the linking vocabulary — lets
+    build_nodes show the surface behind a hashed minted id."""
+    return vocab.where("is_minted").select(
+        F.col("entity_id").alias("canonical_id"),
+        F.col("blocking_key").alias("minted_name"),
+    )
 
 
 def run_pipeline(
@@ -54,7 +68,15 @@ def run_pipeline(
     raw = extract_triples(transcripts).persist()
     raw.count()  # eager fill: see link_triples — concurrent broadcast
     # threads would otherwise recompute the extraction UDF per exchange
-    linked = link_triples(raw, catalog)
+    if _hashed_mint_on(spark):
+        vocab = link_vocab(raw, catalog).persist()
+        vocab.count()  # eager: vocab feeds both linking and minted_names
+        linked = link_triples(raw, catalog, surface_map=vocab)
+        minted = _minted_names(vocab)
+    else:
+        vocab = None
+        linked = link_triples(raw, catalog)
+        minted = None
     mapping = connected_components(alias_pairs)  # has its own actions (fixpoint)
     canonical = apply_canonical_map(linked, mapping).persist()
     # TrackingObjects analog: the run's Person/InstanceEdit wiring becomes
@@ -71,6 +93,7 @@ def run_pipeline(
             "checksum": input_snapshot or "",
             "engine": f"spark-{spark.version}",
         },
+        minted_names=minted,
     )
     return {
         "raw_triples": raw,
@@ -79,16 +102,18 @@ def run_pipeline(
         "canonical_triples": canonical,
         "nodes": nodes,
         "edges": edges,
+        "link_vocab": vocab,
     }
 
 
 def release_pipeline(result: dict) -> None:
-    """Unpersist the two DataFrames run_pipeline caches (raw_triples,
-    canonical_triples).  Call once downstream consumption is finished;
+    """Unpersist the DataFrames run_pipeline caches (raw_triples,
+    canonical_triples, and link_vocab in hashed-minted-id mode).
+    Call once downstream consumption is finished;
     long-lived drivers that run many pipelines without releasing
     accumulate cached blocks (the materialized runner needs no release —
     its stages live in parquet, not the block manager)."""
-    for key in ("raw_triples", "canonical_triples"):
+    for key in ("raw_triples", "canonical_triples", "link_vocab"):
         df = result.get(key)
         if df is not None:
             df.unpersist()
@@ -141,7 +166,19 @@ def run_pipeline_materialized(
         return read_stage(spark, out_dir, name)
 
     raw = _stage("raw_triples", lambda: extract_triples(transcripts))
-    linked = _stage("linked_triples", lambda: link_triples(raw, catalog))
+    if _hashed_mint_on(spark):
+        # vocab is its own resumable stage: the minted-name dim must
+        # survive a crash between linking and node building (the hashed id
+        # cannot be inverted back to its surface).
+        vocab = _stage("link_vocab", lambda: link_vocab(raw, catalog))
+        linked = _stage(
+            "linked_triples",
+            lambda: link_triples(raw, catalog, surface_map=vocab),
+        )
+        minted = _minted_names(vocab)
+    else:
+        linked = _stage("linked_triples", lambda: link_triples(raw, catalog))
+        minted = None
     mapping = _stage("mapping", lambda: connected_components(alias_pairs))
     canonical = _stage(
         "canonical_triples", lambda: apply_canonical_map(linked, mapping)
@@ -159,6 +196,7 @@ def run_pipeline_materialized(
                 "checksum": snap,
                 "engine": f"spark-{spark.version}",
             },
+            minted_names=minted,
         ),
     )
     edges = _stage(

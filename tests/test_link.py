@@ -82,3 +82,41 @@ def test_salted_equals_broadcast(spark, catalog_df, transcripts_df):
          for r in link_surfaces_salted(surfaces, catalog_df, salt_buckets=8).collect()}
     assert a == b
     assert len(a) > 50
+
+
+def test_hashed_minting(spark, catalog_df):
+    """Opt-in fixed-width minted ids: "new:" + md5(blocking_key), catalog
+    hits and tool ids untouched, is_minted flags identical to plain mode."""
+    import hashlib
+
+    from kg.link import link_surfaces_salted
+
+    surf = spark.createDataFrame(
+        [("Totally Unknown Thing",), ("tool::search",)], "surface string"
+    )
+    got = {r["surface"]: (r["entity_id"], r["is_minted"])
+           for r in link_surfaces(surf, catalog_df, hashed_ids=True).collect()}
+    h = hashlib.md5(b"totally unknown thing").hexdigest()
+    assert got["Totally Unknown Thing"] == (f"new:{h}", True)
+    assert len(got["Totally Unknown Thing"][0]) == 4 + 32
+    assert got["tool::search"] == ("tool:search", True)
+    # salted path mints identically
+    salted = {r["surface"]: r["entity_id"]
+              for r in link_surfaces_salted(surf, catalog_df,
+                                            hashed_ids=True).collect()}
+    assert salted == {s: e for s, (e, _) in got.items()}
+
+
+def test_hashed_mint_conf_resolution(spark, catalog_df):
+    """hashed_ids=None reads spark.kg.link.hashedMintedIds."""
+    from kg.link import HASHED_MINT_CONF
+
+    surf = spark.createDataFrame([("Unseen Surface Xyz",)], "surface string")
+    spark.conf.set(HASHED_MINT_CONF, "true")
+    try:
+        row = link_surfaces(surf, catalog_df).collect()[0]
+        assert row["entity_id"].startswith("new:") and len(row["entity_id"]) == 36
+    finally:
+        spark.conf.unset(HASHED_MINT_CONF)
+    row = link_surfaces(surf, catalog_df).collect()[0]
+    assert row["entity_id"] == "new:unseen surface xyz"
