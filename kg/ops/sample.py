@@ -331,13 +331,21 @@ def ngram_overlap_contamination(
 
     # 16-byte unhex'd digest as the join/distinct key: half the exchange
     # bytes of the 32-char hex form, nothing else changes (item 4)
+    # explode_outer + null filter on both gram streams (r6): plain explode
+    # lets InferFiltersFromGenerate clone the n-gram transform into a
+    # filter below the fan-out exchange — the whole shingle computation
+    # re-evaluated at raw-scan parallelism (see ngram_jaccard_pairs).
     gh = F.unhex(F.md5(F.col("g").cast("binary"))).alias("gh")
     train_grams_raw = (
-        with_shingles(train_docs, n).select(F.explode("sh").alias("g")).select(gh)
+        with_shingles(train_docs, n)
+        .select(F.explode_outer("sh").alias("g"))
+        .where(F.col("g").isNotNull())
+        .select(gh)
     )
     eval_grams = (
         with_shingles(eval_docs, n)
-        .select("doc_id", F.explode("sh").alias("g"))
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .where(F.col("g").isNotNull())
         .select("doc_id", gh)
         .distinct()
     )

@@ -111,8 +111,12 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # explode_outer + null filter: plain explode would let
+    # InferFiltersFromGenerate clone the bigram transform into a pushed
+    # filter evaluated a second time below the Generate
     counts = (
-        base.select("doc_id", F.explode(bigrams).alias("b"))
+        base.select("doc_id", F.explode_outer(bigrams).alias("b"))
+        .where(F.col("b").isNotNull())
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -834,3 +834,47 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
     # OUTPUT is not a superset: more candidates can displace weak
     # single-bucket hits from the top-10.)
     assert len(multi & bf) > len(single & bf)
+
+
+def test_minhash_agg_equals_hof_impl(spark):
+    """r6: the codegen explode+agg minhash path must be row-identical to
+    the legacy HOF array-expression path — including NULL bands for
+    zero-shingle docs and the b8r4 banded composition."""
+    from kg.ops.dedup import minhash_signatures
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "alpha beta gamma delta epsilon eta", "en", "s", 1),
+        (3, "short text", "en", "s", 1),           # < 3 words ⇒ no shingles
+        (4, "", "en", "s", 0),                      # empty text
+        (5, None, "en", "s", 0),                    # null text
+        (6, "alpha beta alpha beta alpha beta", "en", "s", 1),  # dup shingles
+    ]
+    d = _docs(spark, rows)
+    for nb, r in ((4, 1), (8, 4)):
+        agg = sorted(minhash_signatures(d, nb, r, impl="agg").collect())
+        hof = sorted(minhash_signatures(d, nb, r, impl="hof").collect())
+        assert agg == hof
+        # zero-shingle docs present with all-NULL bands
+        null_rows = [x for x in agg if x["doc_id"] in (3, 4, 5)]
+        assert len(null_rows) == 3
+        assert all(x[f"mh{b}"] is None for x in null_rows for b in range(nb))
+
+
+def test_fan_out_skips_exchange_when_parallel_enough(spark):
+    """r6 (VERDICT r5 item 3): with_shingles must NOT repartition an
+    input that already has >= defaultParallelism partitions — at 100 TB
+    that exchange is a full shuffle of raw text."""
+    from kg.ops.dedup import _fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    d = _docs(spark, [(i, f"alpha beta gamma {i}", "en", "s", 1)
+                      for i in range(64)])
+    wide = d.repartition(target * 2).localCheckpoint()  # pre-distributed input
+    narrow = d.coalesce(1).localCheckpoint()
+    assert _fan_out(wide).rdd.getNumPartitions() == target * 2
+    assert _fan_out(narrow).rdd.getNumPartitions() == target
+    # plan of the fanned-out narrow input contains the repartition; the
+    # wide input's plan must not add an exchange
+    wide_plan = _fan_out(wide)._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in wide_plan
