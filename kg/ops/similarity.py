@@ -15,20 +15,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kg.ops.dedup import _fan_out
+
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    """Element-wise widen to double.  A plain array cast, NOT a transform
+    lambda (r6): higher-order-function bodies are evaluated interpreted,
+    so the old transform paid a per-element interpreted cast over the
+    whole corpus; Cast(array<float> → array<double>) is codegen'd and
+    value-identical (same IEEE widening per element)."""
+    return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Deterministic sequential fold — index order, no shuffle reorder."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Deterministic sequential dot product — index order, no shuffle
+    reorder.
+
+    With ``dim`` (r6, the hot paths): the sum is EXPANDED into a plain
+    codegen expression 0.0 + a[0]·b[0] + a[1]·b[1] + … — the identical
+    left-associated IEEE addition order as the fold, so results are
+    bit-identical — because F.aggregate/zip_with lambdas are evaluated
+    INTERPRETED per element (measured: the interpreted fold dominated
+    every ANN query at sf1.0).  F.get (not element_at) keeps the ANSI
+    out-of-bounds behavior at NULL, matching zip_with's null padding.
+    Without ``dim`` (unknown width): the legacy fold.
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        s = s + F.get(a, i) * F.get(b, i)
+    return s
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def dot_lit(vec: Column, w: list[float]) -> Column:
+    """dot(vec, literal weight vector), fully expanded for codegen —
+    same addition order as the fold over an F.array literal."""
+    s: Column = F.lit(0.0)
+    for i, x in enumerate(w):
+        s = s + F.get(vec, i) * F.lit(float(x))
+    return s
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
+
+
+def _probe_dim(embeddings: DataFrame) -> int | None:
+    """Embedding width from one row (bounded driver action).  All vectors
+    are assumed equal-width — the same invariant the deterministic
+    hyperplanes already rely on."""
+    row = embeddings.select(F.size("embedding").alias("d")).head(1)
+    return int(row[0]["d"]) if row else None
 
 
 def brute_force_topk(
@@ -44,16 +84,30 @@ def brute_force_topk(
     Ties broken on neighbor_id after rounding to 6dp so results are
     engine-independent.
     """
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    d = _probe_dim(embeddings)
+    # per-vector norm hoisted out of the per-pair cosine (r6): computed
+    # once per row map-side, the pair then pays only the cross dot —
+    # bit-identical (same expressions, same order, just not re-evaluated
+    # per candidate)
+    # fan-out before the broadcast probe (r6): a broadcast join preserves
+    # the big side's partitioning, so a 1-split local scan would score
+    # every (probe, vector) pair in ONE task (thread-dump-verified)
+    e = _fan_out(embeddings).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("_nv", F.sqrt(dot(F.col("v"), F.col("v"), d)))
     probes = e.where(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("_nv").alias("_pnv"),
     )
     scored = (
         e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("pv"), F.col("v"), d) / (F.col("_pnv") * F.col("_nv")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -82,11 +136,12 @@ def _hyperplane(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit p = sign(dot(v, plane_p))."""
+    """Sign-random-projection bucket id: bit p = sign(dot(v, plane_p)).
+    Plane dots are expanded literal sums (dot_lit) — codegen, identical
+    addition order to the old fold over an F.array literal."""
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(dot_lit(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
 
@@ -111,9 +166,13 @@ def lsh_topk(
     n_planes+1 rows per probe before the same broadcast join).
     """
     planes = _hyperplane(dim, n_planes)
-    e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    d = _probe_dim(embeddings)
+    e = (
+        _fan_out(embeddings)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        .withColumn("_nv", F.sqrt(dot(F.col("v"), F.col("v"), d)))
+    )
     if hamming not in (0, 1):
         raise ValueError("hamming must be 0 or 1")
     pbuckets = F.array(
@@ -127,6 +186,7 @@ def lsh_topk(
     probes = e.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
+        F.col("_nv").alias("_pnv"),
         F.explode(pbuckets).alias("pbucket"),
     )
     cand = e.join(
@@ -136,7 +196,9 @@ def lsh_topk(
     scored = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("pv"), F.col("v"), d) / (F.col("_pnv") * F.col("_nv")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -175,7 +237,9 @@ def ivf_topk(
     """
     import math
 
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    e = _fan_out(embeddings).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
     hk = F.md5(
         F.concat(F.lit("ivf|"), F.col("vec_id").cast("string")).cast("binary")
     )
@@ -188,6 +252,12 @@ def ivf_topk(
         # score is dot/|c| only — one fold per centroid, none wasted on
         # re-deriving |v| per cell.  Rounded to 6dp with a centroid-id
         # tiebreak so the oracle's ranking is engine-independent.
+        # Deliberately the FOLD form, not dot_lit (r6 A/B): n_cells
+        # expanded literal sums make a ~6k-node expression tree whose
+        # driver-side analysis/codegen costs more than the interpreted
+        # fold saves (build 2.0s → 6.4s, force 3.9s → 4.9s measured at
+        # sf1.0); expansion only pays for SMALL trees (single-pair
+        # cosine, per-plane dots).
         return [
             F.round(
                 dot(vcol, F.array(*[F.lit(x) for x in c])) / F.lit(n), 6
@@ -203,18 +273,21 @@ def ivf_topk(
             for i, s in enumerate(_scores(vcol))
         ])
 
+    dim = len(cents[0]) if cents else None
     cells = e.select(
         "vec_id",
         "v",
+        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("_nv"),
         (-F.array_max(_cell_structs(F.col("v")))["nid"]).cast("int").alias("cell"),
     )
     probes = e.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
+        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("_pnv"),
         F.explode(
             F.slice(F.sort_array(_cell_structs(F.col("v")), asc=False), 1, n_probe)
         ).alias("t"),
-    ).select("probe_id", "pv", (-F.col("t.nid")).cast("int").alias("cell"))
+    ).select("probe_id", "pv", "_pnv", (-F.col("t.nid")).cast("int").alias("cell"))
     cand = cells.alias("c").join(
         F.broadcast(probes.alias("p")),
         (F.col("c.cell") == F.col("p.cell"))
@@ -223,7 +296,11 @@ def ivf_topk(
     scored = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("pv"), F.col("v"), dim)
+            / (F.col("_pnv") * F.col("_nv")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -353,7 +430,9 @@ def ivf_topk_at_scale(
     """
     import numpy as np
 
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    e = _fan_out(embeddings).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
     if cells is not None:
         if centroids is None:
             if kmeans_iters:
@@ -388,9 +467,11 @@ def ivf_topk_at_scale(
             (int(r["vec_id"]), [float(x) for x in r["v"]], int(c)) for c in order
         )
     spark = embeddings.sparkSession
+    d = int(cents.shape[1])
     pdf = spark.createDataFrame(
         probe_rows, "probe_id long, pv array<double>, cell int"
-    )
+    ).withColumn("_pnv", F.sqrt(dot(F.col("pv"), F.col("pv"), d)))
+    cells = cells.withColumn("_nv", F.sqrt(dot(F.col("v"), F.col("v"), d)))
     cand = cells.join(
         F.broadcast(pdf),
         (cells["cell"] == pdf["cell"]) & (cells["vec_id"] != pdf["probe_id"]),
@@ -398,7 +479,9 @@ def ivf_topk_at_scale(
     scored = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("pv"), F.col("v"), d) / (F.col("_pnv") * F.col("_nv")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -440,10 +523,10 @@ def _emb_blocks(
     the oversized-bucket audit so both see identical buckets)."""
     if block_col is None:
         planes = _hyperplane(dim, resolve_n_planes(embeddings, n_planes))
-        return embeddings.select(
+        return _fan_out(embeddings).select(
             "vec_id", as_double(F.col("embedding")).alias("v")
         ).withColumn("_blk", lsh_bucket(F.col("v"), planes))
-    return embeddings.select(
+    return _fan_out(embeddings).select(
         "vec_id",
         F.col(block_col).alias("_blk"),
         as_double(F.col("embedding")).alias("v"),
@@ -497,7 +580,16 @@ def embedding_near_dup_pairs(
     embedding_oversized_buckets.  Such buckets are exact-dup territory —
     run exact/minhash dedup first.  max_bucket_size=None disables.
     """
-    e = _emb_blocks(embeddings, block_col, n_planes, dim)
+    # persist: the block-keyed relation feeds the oversized-bucket count
+    # and BOTH self-join sides; unpinned, each reference re-derives the
+    # bucket projection from the scan.  Norms hoisted per vector (r6):
+    # the pair then pays one cross dot, not three.
+    d = _probe_dim(embeddings)
+    e = (
+        _emb_blocks(embeddings, block_col, n_planes, dim)
+        .withColumn("_nv", F.sqrt(dot(F.col("v"), F.col("v"), d)))
+        .persist()
+    )
     if max_bucket_size is not None:
         oversized = (
             e.groupBy("_blk")
@@ -515,7 +607,11 @@ def embedding_near_dup_pairs(
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"), d)
+                / (F.col("a._nv") * F.col("b._nv")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -878,3 +878,26 @@ def test_fan_out_skips_exchange_when_parallel_enough(spark):
     # wide input's plan must not add an exchange
     wide_plan = _fan_out(wide)._jdf.queryExecution().sparkPlan().toString()
     assert "Exchange" not in wide_plan
+
+
+def test_expanded_dot_bit_identical_to_fold(spark):
+    """r6: the codegen-expanded dot/cosine (dim given) must be BIT-identical
+    to the interpreted zip_with/aggregate fold — same left-associated IEEE
+    addition order — so every rounded cos_sim is unchanged."""
+    import random
+
+    from kg.ops.similarity import as_double, cosine, dot, dot_lit
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(17)]) for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, a array<float>")
+    e = e.withColumn("b", F.reverse("a"))
+    av, bv = as_double(F.col("a")), as_double(F.col("b"))
+    w = [rng.uniform(-1, 1) for _ in range(17)]
+    w_col = F.array(*[F.lit(float(x)) for x in w])
+    out = e.select(
+        (dot(av, bv) == dot(av, bv, 17)).alias("d_eq"),
+        (cosine(av, bv) == cosine(av, bv, 17)).alias("c_eq"),
+        (dot(av, w_col) == dot_lit(av, w)).alias("l_eq"),
+    ).collect()
+    assert all(r["d_eq"] and r["c_eq"] and r["l_eq"] for r in out)
