@@ -120,8 +120,9 @@ def connected_components(
     Both produce canonical_id = lexicographic min of the component, so
     results are identical (asserted in tests/test_canonicalize.py).
     """
-    approx_edges = edges.limit(small_graph_threshold + 1).count()
-    if approx_edges <= small_graph_threshold:
+    from kg.probes import rows_at_most
+
+    if rows_at_most(edges, small_graph_threshold):
         return _driver_union_find(edges)
     all_nodes = (
         edges.select(F.col("src").alias("node"))
@@ -239,13 +240,15 @@ def _fits_broadcast(df: DataFrame, threshold: int | None) -> bool:
 
     threshold=None reads spark.kg.broadcastRowThreshold (default 4M rows ≈
     a few hundred MB of (node, canonical_id) strings — executor-safe)."""
+    from kg.probes import rows_at_most
+
     if threshold is None:
         threshold = int(
             df.sparkSession.conf.get("spark.kg.broadcastRowThreshold", "4000000")
         )
     if threshold <= 0:
         return False
-    return df.limit(threshold + 1).count() <= threshold
+    return rows_at_most(df, threshold)
 
 
 def apply_canonical_map(

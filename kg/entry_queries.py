@@ -60,11 +60,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def a1_stoichiometry_order(spark, sf_dir):
     """A1+W1 (ReactomeBatchImporter.java:630-655): duplicate-target count
-    (stoichiometry) + first-appearance rank (order) per source."""
+    (stoichiometry) + first-appearance rank (order) per source.
+
+    r6 (guide §2.4 "two operations keyed the same way can share one
+    exchange"): repartition on l_orderkey up front — hash(l_orderkey)
+    satisfies BOTH the (l_orderkey, l_partkey) aggregation's clustering
+    and the window's partitioning, so the plan runs ONE exchange of raw
+    (orderkey, partkey, linenumber) rows instead of two (partial-agg
+    rows on the pair key, then agg rows again on orderkey).  The r5
+    partial aggregation collapsed almost nothing here ((orderkey,
+    partkey) is nearly unique in lineitem), so the second exchange was
+    pure re-shuffle."""
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_orderkey", "l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("stoichiometry"),
-        F.min("l_linenumber").alias("first_ln"),
+    g = (
+        li.select("l_orderkey", "l_partkey", "l_linenumber")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("stoichiometry"),
+            F.min("l_linenumber").alias("first_ln"),
+        )
     )
     w = Window.partitionBy("l_orderkey").orderBy("first_ln", "l_partkey")
     return g.select(
@@ -1120,11 +1135,16 @@ def w4_sessionization(spark, sf_dir):
 def skew_salted_count(spark, sf_dir):
     """Explicit skew path (north_rule): two-phase salted aggregation over
     a low-cardinality (therefore hot) key — result must equal the plain
-    groupBy (kg/skew.py; hot-key detection via frequency sketch)."""
+    groupBy (kg/skew.py; hot-key detection via frequency sketch).
+    r6: salt on event_id (unique ⇒ uniform spread) instead of the whole
+    row, so the scan prunes to two columns; sketch is one pass."""
     from kg.skew import salted_aggregate_counts
 
     e = _t(spark, sf_dir, "events")
-    return salted_aggregate_counts(e, "event_type", min_share=0.01, n_salts=8)
+    return salted_aggregate_counts(
+        e, "event_type", min_share=0.01, n_salts=8,
+        salt_cols=["event_type", "event_id"],
+    )
 
 
 @_q(

@@ -189,8 +189,7 @@ def extract_triples(
         impl = spark.conf.get("spark.kg.extract.impl", "auto")
     if impl == "auto":
         thr = int(spark.conf.get("spark.kg.extract.autoThresholdTurns", "2000000"))
-        small = transcripts.limit(thr + 1).count() <= thr
-        impl = "pandas" if small else "sql"
+        impl = "pandas" if _turns_at_most(transcripts, thr) else "sql"
     if impl == "pandas":
         return extract_triples_pandas(transcripts, num_partitions)
     if impl != "sql":
@@ -198,6 +197,14 @@ def extract_triples(
             f"unknown extract impl {impl!r} (want 'auto', 'sql' or 'pandas')"
         )
     return extract_triples_sql(transcripts, num_partitions)
+
+
+def _turns_at_most(transcripts: DataFrame, thr: int) -> bool:
+    """Bounded row-count probe for the auto dispatch — see kg.probes
+    (parquet-footer / local-relation fast paths, limit+count fallback)."""
+    from kg.probes import rows_at_most
+
+    return rows_at_most(transcripts, thr)
 
 
 def extract_triples_sql(

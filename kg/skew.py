@@ -32,21 +32,29 @@ def key_frequency_sketch(
 ) -> list:
     """Keys whose frequency exceeds min_share of the table (bounded list).
 
-    One map-side-combined groupBy — at 10^12 rows this is the same cost
-    as any count-by-key; the result is driver-sized by construction
-    (≤ 1/min_share keys can exceed the share)."""
-    total = df.count()
-    if total == 0:
-        return []
-    threshold = max(1, int(total * min_share))
-    rows = (
-        df.groupBy(key_col)
-        .count()
-        .where(F.col("count") >= threshold)
-        .orderBy(F.desc("count"))
-        .limit(max_keys)
-        .collect()
+    ONE full scan (r6): the r5 form paid a df.count() pass for the total
+    and then a second full scan for the per-key counts; the total is the
+    sum of the grouped counts, so both actions now read the same
+    persisted per-key aggregate (size = |distinct keys|, already the
+    r5 shuffle's size) and the input is scanned once.  The result stays
+    driver-sized by construction (≤ 1/min_share keys can exceed the
+    share); the aggregate is unpersisted before returning."""
+    grouped = (
+        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("count")).persist()
     )
+    try:
+        total = grouped.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
+        if total == 0:
+            return []
+        threshold = max(1, int(total * min_share))
+        rows = (
+            grouped.where(F.col("count") >= threshold)
+            .orderBy(F.desc("count"))
+            .limit(max_keys)
+            .collect()
+        )
+    finally:
+        grouped.unpersist()
     return [r[key_col] for r in rows]
 
 
@@ -56,12 +64,23 @@ def _salt_col(df_cols: list[str], n_salts: int) -> Column:
 
 
 def salt_hot_keys(
-    df: DataFrame, key_col: str, hot_keys: list, n_salts: int = 16
+    df: DataFrame,
+    key_col: str,
+    hot_keys: list,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Probe side: hot-key rows get salt ∈ [0, n_salts); cold rows salt 0."""
+    """Probe side: hot-key rows get salt ∈ [0, n_salts); cold rows salt 0.
+    ``salt_cols`` narrows the columns the salt hashes (default: whole
+    row) so column pruning can reach the scan — any deterministic
+    derivation yields the same join/aggregate RESULTS, only the row→salt
+    assignment differs."""
     is_hot = F.col(key_col).isin(hot_keys) if hot_keys else F.lit(False)
     return df.withColumn(
-        "_salt", F.when(is_hot, _salt_col(df.columns, n_salts)).otherwise(F.lit(0))
+        "_salt",
+        F.when(is_hot, _salt_col(salt_cols or df.columns, n_salts)).otherwise(
+            F.lit(0)
+        ),
     )
 
 
@@ -112,7 +131,11 @@ def skew_join(
 
 
 def salted_aggregate_counts(
-    df: DataFrame, key_col: str, min_share: float = 0.001, n_salts: int = 16
+    df: DataFrame,
+    key_col: str,
+    min_share: float = 0.001,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """groupBy(key).count() with two-phase aggregation over salted hot
     keys: phase 1 aggregates (key, salt), phase 2 sums per key.  Same
@@ -120,9 +143,16 @@ def salted_aggregate_counts(
     hot key over n_salts reducers (for count, Spark's own partial
     aggregation already achieves this; the pattern matters for
     high-cardinality payload aggs like collect_list/distinct sets).
+
+    ``salt_cols`` (r6): columns the deterministic salt hashes.  The
+    default (all columns) forces the scan to read the FULL row just to
+    derive a salt the result does not depend on — the r5 plan's
+    ReadSchema listed every column.  Passing a narrow high-variance
+    subset (an id column) prunes the scan to key + salt inputs; the
+    counts are identical for ANY deterministic salt derivation.
     """
     hot = key_frequency_sketch(df, key_col, min_share)
-    salted = salt_hot_keys(df, key_col, hot, n_salts)
+    salted = salt_hot_keys(df, key_col, hot, n_salts, salt_cols)
     phase1 = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("c"))
     return phase1.groupBy(key_col).agg(F.sum("c").cast("long").alias("count"))
 

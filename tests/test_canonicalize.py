@@ -136,3 +136,27 @@ def test_update_connected_components_empty_and_noop_deltas(spark):
     # delta fully inside one existing component contracts to nothing
     m2 = update_connected_components(m, df([("m", "n"), ("n", "m")]))
     assert sorted(map(tuple, m2.collect())) == [("n", "m")]
+
+
+def test_rows_at_most_probe_paths(spark, tmp_path):
+    """r6: the bounded row-count probe must answer identically through
+    its three paths — parquet footers (plain scan), local relation, and
+    the limit+count fallback (filtered plan)."""
+    from pyspark.sql import functions as F
+
+    from kg.probes import rows_at_most
+
+    p = str(tmp_path / "probe.parquet")
+    spark.range(1000).withColumn("x", F.col("id") % 7).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert rows_at_most(scan, 1000) is True
+    assert rows_at_most(scan, 999) is False
+    # filtered plan: footer count (1000) would overshoot — must fall back
+    filtered = scan.where(F.col("x") == 0)
+    n = filtered.count()
+    assert rows_at_most(filtered, n) is True
+    assert rows_at_most(filtered, n - 1) is False
+    # local relation (driver-built)
+    local = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    assert rows_at_most(local, 10) is True
+    assert rows_at_most(local, 9) is False
