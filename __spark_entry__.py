@@ -201,6 +201,59 @@ def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Priority order for the driver's correctness window (VERDICT r5 item 1):
+# the driver checks the FIRST 50 entries of queries(), and through round 5
+# that window never contained the seven kg_* pipeline stages (the reason
+# this engine exists) nor the strongest round-3+ ops — they were only ever
+# verified by the builder/judge replica sweeps.  The flagship stages and
+# those ops lead the dict; the entries they displace are P-row one-liners
+# and shape-duplicate micro-queries (simple select/where/semi/anti forms
+# all still exercised by the remaining windowed entries), which stay
+# declared and oracle-checked after position 50.
+_PRIORITY = [
+    "kg_extract_triples",
+    "kg_extract_triples_pandas",
+    "kg_linked_triples",
+    "kg_linked_triples_hashed",
+    "kg_connected_components",
+    "kg_edges",
+    "kg_nodes",
+    "ann_ivf_topk",
+    "graph_pagerank",
+    "sample_ngram_contamination",
+    "pack_chunk_assignments",
+    "pack_chunk_manifest",
+    "motif_triangle_count",
+    "motif_two_hop_counts",
+]
+# micro-entries deliberately moved AFTER the 50-entry window
+_DEPRIORITIZED = [
+    "a3_latest_release_max",
+    "j5_orthologous_anti_join",
+    "j6_coalesce_fallback",
+    "p5_null_normalization",
+    "p7_class_name_override",
+    "p11_person_name_normalization",
+    "p12_stable_id_projection",
+    "p18_existence_flags",
+    "p20_first_element",
+    "p21_trivial_flag",
+    "p22_url_templating",
+    "p23_curie_minting",
+    "p24_accession_normalization",
+    "s9_json_enrichment",
+]
+
+
+def _ordered(entries: dict) -> dict:
+    head = {n: entries[n] for n in _PRIORITY if n in entries}
+    tail = {n: entries[n] for n in _DEPRIORITIZED if n in entries}
+    mid = {
+        n: v for n, v in entries.items() if n not in head and n not in tail
+    }
+    return {**head, **mid, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(entry_queries.queries())
     qs.update(
@@ -214,7 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_nodes": _kg_nodes,
         }
     )
-    return qs
+    return _ordered(qs)
 
 
 # --- DuckDB transliteration of the four pipeline stages -------------------
@@ -452,4 +505,4 @@ def _kg_oracle_sql() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     sqls = dict(entry_queries.oracle_sql())
     sqls.update(_kg_oracle_sql())  # also ensures fixtures exist on disk
-    return sqls
+    return _ordered(sqls)  # same window order as queries()

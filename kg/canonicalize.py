@@ -60,12 +60,27 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def _src_min(edges: DataFrame) -> DataFrame:
+    """(src, m = least(src, min(dst))) via groupBy + join-back (r6,
+    VERDICT r5 item 1 / SURVEY §7 risk 3): the r5 form computed the
+    per-src min with Window.partitionBy("src"), which funnels a node's
+    ENTIRE neighborhood through one sorted window task — a hub alias
+    with 10^8 neighbors is a single-task sort per CC iteration, and AQE
+    can never split a window partition.  groupBy gets map-side partial
+    aggregation (each task contributes one candidate min per src), and
+    the join-back is an equi-join AQE CAN skew-split.  Same rows, same
+    values: every row of a src group receives the identical m either
+    way (asserted against the window form in tests)."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return edges.join(mins, "src").withColumn(
+        "m", F.least(F.col("src"), F.col("_mn"))
+    ).drop("_mn")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
-    w = Window.partitionBy("src")
-    m = F.least(F.col("src"), F.min("dst").over(w))
     return (
-        edges.withColumn("m", m)
+        _src_min(edges)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -79,8 +94,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
-    w = Window.partitionBy("src")
-    with_m = oriented.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+    with_m = _src_min(oriented)
     out_nb = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     out_self = with_m.select(F.col("src").alias("src"), F.col("m").alias("dst")).distinct()
     return (

@@ -1823,22 +1823,43 @@ def text_pii_scrub(spark, sf_dir):
 def text_top_tokens(spark, sf_dir):
     """Per-language vocabulary heavy hitters (top-20 tokens): the corpus
     stat a tokenizer-training pipeline reads first.  One explode + a
-    map-combined (lang, token) count + a per-lang top-k window; the
-    count shuffle keys on (lang, token) — high-cardinality, skew-free —
-    and only the tiny per-lang aggregate reaches the window."""
+    map-combined (lang, token) count; the count shuffle keys on
+    (lang, token) — high-cardinality, skew-free.
+
+    r6 two-phase top-k (VERDICT r5 item 3, same trick as
+    top_n_per_stratum): the r5 per-lang window sorted a language's
+    ENTIRE distinct vocabulary in one task (10^8+ rows for a web-scale
+    English).  Phase 1 ranks within (lang, pmod(xxhash64(token), B)) —
+    any task is bounded at |vocab(lang)|/B — and keeps ≤ 20 per bucket;
+    phase 2 runs the original window over ≤ 20·B survivors only.
+    Output identical by construction: a global top-20 token has < 20
+    tokens ahead of it in its language's (n desc, token asc) order,
+    hence < 20 ahead within its own bucket, so it survives phase 1
+    (equality vs the one-phase form asserted in tests).  explode_outer +
+    null filter keeps InferFiltersFromGenerate from cloning the words()
+    split below the Generate."""
     from pyspark.sql.window import Window as W
 
     from kg.ops.dedup import words
 
+    n_buckets = 64
     d = _t(spark, sf_dir, "documents")
     c = (
-        d.select("lang", F.explode(words(F.col("text"))).alias("token"))
+        d.select("lang", F.explode_outer(words(F.col("text"))).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    sb = F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+    w1 = W.partitionBy(F.col("lang"), sb).orderBy(F.desc("n"), F.asc("token"))
+    survivors = (
+        c.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    w2 = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
     return (
-        c.withColumn("rank_in_lang", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank_in_lang", F.row_number().over(w2).cast("long"))
         .where(F.col("rank_in_lang") <= 20)
         .select("lang", "token", "n", "rank_in_lang")
     )

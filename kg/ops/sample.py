@@ -357,12 +357,34 @@ def ngram_overlap_contamination(
             train_grams_raw.distinct(), "gh", "left_semi"
         )
     else:
+        import logging
         import math
 
-        n_items = max(1, train_grams_raw.count())  # map-only, no shuffle
+        # r6 (VERDICT r5 item 5): size the bitmap from the DISTINCT gram
+        # cardinality (one map-combined HLL aggregation — same single
+        # pass as the old raw count()), not the raw gram count, which
+        # overestimates n by the duplication factor and inflates m with
+        # it.  The filter's one-sided-error contract is unchanged: a
+        # too-small m only admits more candidates into the exact
+        # re-verify, never a wrong result.  Achieved-fpp estimate is
+        # logged next to the derived size (no-silent-caps discipline).
+        n_items = max(
+            1,
+            int(
+                train_grams_raw.agg(
+                    F.approx_count_distinct("gh").alias("n")
+                ).collect()[0]["n"]
+            ),
+        )
         m_bits = int(-n_items * math.log(bloom_fpp) / (math.log(2) ** 2))
         m_bits = min(max(m_bits, 64), bloom_max_bits)
         k = max(1, round(m_bits / n_items * math.log(2)))
+        est_fpp = (1.0 - math.exp(-k * n_items / m_bits)) ** k
+        logging.getLogger(__name__).info(
+            "bloom decontamination: ~%d distinct train grams, m=%d bits "
+            "(cap %d), k=%d, estimated fpp=%.2e (target %.2e)",
+            n_items, m_bits, bloom_max_bits, k, est_fpp, bloom_fpp,
+        )
         words = _bloom_words(train_grams_raw, "gh", m_bits, k)
         cand = _bloom_positives(
             eval_grams.select("gh").distinct(), "gh", words, m_bits, k

@@ -160,3 +160,35 @@ def test_rows_at_most_probe_paths(spark, tmp_path):
     local = spark.createDataFrame([(i,) for i in range(10)], "id long")
     assert rows_at_most(local, 10) is True
     assert rows_at_most(local, 9) is False
+
+
+def test_src_min_equals_window_form_and_no_window_in_plan(spark):
+    """r6 (VERDICT r5 item 2): the star steps' per-src min must be the
+    groupBy+join form — identical rows to the window form, and NO Window
+    operator in the plan (a window partition funnels a hub node's whole
+    neighborhood through one unsplittable task)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kg.canonicalize import _large_star, _small_star, _src_min
+
+    rng = random.Random(11)
+    rows = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+            for _ in range(300)]
+    # one hub with many neighbors
+    rows += [("hub", f"x{i}") for i in range(200)]
+    e = spark.createDataFrame(rows, "src string, dst string").where("src != dst")
+    w = Window.partitionBy("src")
+    win_form = e.withColumn(
+        "m", F.least(F.col("src"), F.min("dst").over(w))
+    ).select("src", "dst", "m")
+    agg_form = _src_min(e).select("src", "dst", "m")
+    assert sorted(map(tuple, agg_form.collect())) == sorted(
+        map(tuple, win_form.collect())
+    )
+    for df in (_large_star(e), _small_star(e)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan

@@ -62,3 +62,40 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     assert sorted(got.columns) == sorted(exp.columns)
     a, b = _norm(got), _norm(exp)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_text_top_tokens_two_phase_equals_one_phase(spark):
+    """r6 (VERDICT r5 item 3): the bucketed two-phase per-lang top-20
+    must equal the single-window form exactly, including tie order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from kg.entry_queries import _REGISTRY
+    from kg.ops.dedup import words
+
+    rows = []
+    for i in range(400):
+        lang = ["en", "de", "es"][i % 3]
+        toks = " ".join(f"w{(i * 7 + j) % 45}" for j in range(12))
+        rows.append((i, toks, lang, "s", len(toks)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+    sf_dir = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    two_phase = _REGISTRY["text_top_tokens"][0](spark, sf_dir)
+    c = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    one_phase = (
+        c.withColumn("rank_in_lang", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_lang") <= 20)
+        .select("lang", "token", "n", "rank_in_lang")
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, one_phase.collect())
+    )

@@ -321,3 +321,59 @@ def test_top_n_per_stratum_no_single_task_stratum(spark):
     counts = [r["c"] for r in
               d.groupBy(sb.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()]
     assert len(counts) == 16 and max(counts) < 5000 / 4
+
+
+def test_bloom_autosize_targets_fpp_from_distinct_cardinality(spark):
+    """r6 (VERDICT r5 item 5): m_bits must be derived from the DISTINCT
+    train-gram cardinality (approx_count_distinct), so on a corpus with
+    heavy gram duplication the bitmap is sized for n_distinct, within
+    HLL error, of the textbook m = -n ln(p) / ln(2)^2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kg.ops.dedup import with_shingles
+    from kg.ops.sample import ngram_overlap_contamination
+
+    # 50 docs sharing ONE repeated sentence => tiny distinct-gram set
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en", "s", 30)
+            for i in range(50)]
+    train = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ev = spark.createDataFrame(
+        [(1000, "alpha beta gamma something else entirely", "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    gh = F.unhex(F.md5(F.col("g").cast("binary"))).alias("gh")
+    grams = (
+        with_shingles(train, 3).select(F.explode_outer("sh").alias("g"))
+        .where(F.col("g").isNotNull()).select(gh)
+    )
+    n_distinct = grams.distinct().count()
+    n_raw = grams.count()
+    assert n_raw == 50 * n_distinct  # heavy duplication by construction
+    captured = {}
+    import kg.ops.sample as S
+    orig = S._bloom_words
+
+    def spy(g, col, m_bits, k):
+        captured["m"], captured["k"] = m_bits, k
+        return orig(g, col, m_bits, k)
+
+    S._bloom_words = spy
+    try:
+        out = ngram_overlap_contamination(train, ev, n=3, bloom_fpp=0.01)
+        rowz = {r["doc_id"]: r for r in out.collect()}
+    finally:
+        S._bloom_words = orig
+    # sized from n_distinct (± HLL error), NOT from the 50x raw count
+    textbook = -n_distinct * math.log(0.01) / (math.log(2) ** 2)
+    assert captured["m"] >= 64  # floor
+    assert captured["m"] <= 3 * textbook + 64  # nowhere near the 50x raw size
+    # and the result still equals the exact path
+    exact = {r["doc_id"]: r for r in
+             ngram_overlap_contamination(train, ev, n=3).collect()}
+    assert {k: tuple(v) for k, v in rowz.items()} == {
+        k: tuple(v) for k, v in exact.items()
+    }

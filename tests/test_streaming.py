@@ -328,3 +328,93 @@ def test_incremental_edge_compaction_is_delta_proportional(
     # the new epoch's delta is far smaller than the accumulated state
     st = res2["edge_stats"][0]
     assert 0 < st["n_delta_partials"] < st["n_state_edges"]
+
+
+def test_incremental_composes_alias_delta_with_new_transcripts(spark, tmp_path):
+    """r6 (VERDICT r5 item 6): one drain that delivers BOTH a new alias
+    file and new transcripts must compose the contracted-delta CC update
+    with the edge-partial merge: the epoch's alias work reads only the
+    NEW alias file (delta-sized cc_stats), the epoch's edge work reads
+    only the epoch's triples + prior snapshot, and the final edges equal
+    a full batch rebuild over everything."""
+    import datetime as dt
+
+    from kg.schema import ALIAS_PAIRS_SCHEMA, TRANSCRIPTS_SCHEMA
+
+    def _t(conv, idx, text):
+        return (conv, idx, "user", text, None, dt.datetime(2025, 1, 1))
+
+    tcols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def _write_turns(rows, path):
+        pdf = pd.DataFrame(rows, columns=tcols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        return rows
+
+    feed = tmp_path / "cfeed"; feed.mkdir()
+    adir = tmp_path / "caliases"; adir.mkdir()
+    out = str(tmp_path / "cout")
+    catalog = spark.createDataFrame(
+        [], "entity_id string, canonical_name string, aliases array<string>, "
+            "blocking_key string, prefix string, entity_type string, freq_hint double",
+    )
+    all_turns = []
+    all_pairs = [("new:p", "new:q", "seed")]
+    all_turns += _write_turns(
+        [_t("c1", 0, "link [[A]] and [[B]] here")], str(feed / "b1.parquet"))
+    pd.DataFrame(all_pairs, columns=["src", "dst", "kind"]).to_parquet(
+        str(adir / "a1.parquet"), index=False)
+    run_incremental(spark, str(feed), catalog, str(adir), out)
+
+    # BOTH arrive before the second drain: transcripts mentioning C1/C2/D
+    # and the alias pair that merges C1 and C2 (entities unseen in epoch 1,
+    # so the full-rebuild comparison is exact).  The new transcripts span
+    # 5 files (maxFilesPerTrigger=4 => 2 micro-batches), so the drain has
+    # one epoch that pays the alias catch-up and one that must do ZERO
+    # alias work while still composing through the updated mapping.
+    all_turns += _write_turns(
+        [_t("c2", 0, "now [[C1]] visits [[C2]]")], str(feed / "b2.parquet"))
+    for i in range(3):
+        all_turns += _write_turns(
+            [_t(f"cx{i}", 0, f"filler [[F{i}]] next [[G{i}]]")],
+            str(feed / f"b3_{i}.parquet"))
+    all_turns += _write_turns(
+        [_t("c3", 0, "and [[C2]] meets [[D]]")], str(feed / "b4.parquet"))
+    new_pairs = [("new:c1", "new:c2", "alias")]
+    all_pairs += new_pairs
+    pd.DataFrame(new_pairs, columns=["src", "dst", "kind"]).to_parquet(
+        str(adir / "a2.parquet"), index=False)
+
+    second = run_incremental(spark, str(feed), catalog, str(adir), out)
+    # first epoch of the restarted drain pays the alias catch-up once
+    # (seen-file tracking is per drain); the NEXT epoch does zero alias
+    # work — delta-proportional within the drain — while its triples
+    # still canonicalize through the composed mapping
+    assert second["epochs"] == 2 and len(second["cc_stats"]) == 2
+    assert second["cc_stats"][0]["n_new_alias_files"] == 2
+    assert second["cc_stats"][1]["n_new_alias_files"] == 0
+    assert second["cc_stats"][1]["n_delta_edges"] == 0
+    # edge work per epoch = the epoch's partials merged into state
+    assert all(0 < est["n_delta_partials"] for est in second["edge_stats"])
+    files = second["edges"].inputFiles()
+    assert files and all("edge_state_stream" in f for f in files)
+    assert not any("canonical_triples_stream" in f for f in files)
+
+    # composed result == full batch rebuild over all transcripts + aliases
+    tr_pdf = pd.DataFrame(all_turns, columns=tcols)
+    tr_pdf["turn_idx"] = tr_pdf["turn_idx"].astype("int32")
+    tr_pdf["tool"] = tr_pdf["tool"].astype("string")
+    tr = spark.createDataFrame(tr_pdf, schema=TRANSCRIPTS_SCHEMA)
+    ap = spark.createDataFrame(
+        pd.DataFrame(all_pairs, columns=["src", "dst", "kind"]),
+        schema=ALIAS_PAIRS_SCHEMA,
+    )
+    batch = run_pipeline(spark, tr, catalog, ap)
+    assert _edges_key(second["edges"]).equals(_edges_key(batch["edges"]))
+    # the C1/C2 merge actually happened through the composed mapping
+    merged = {(r["src"], r["dst"]) for r in second["edges"].collect()
+              if r["rel_type"] == "co_occurs_with"}
+    assert ("new:c1", "new:d") in merged
