@@ -100,18 +100,23 @@ def a1_stoichiometry_order(spark, sf_dir):
 )
 def a2_latest_top1_per_group(spark, sf_dir):
     """A2 (ReactomeBatchImporter.java:608-628): latest-modified top-1 per
-    source; losers discarded."""
+    source; losers discarded.
+
+    r6: row_number window → max(struct(o_orderdate, o_orderkey)) — the
+    rn=1 row under (date desc, orderkey desc) IS the lexicographic max
+    of the (date, orderkey) pair (both non-null here), so the aggregate
+    gives identical rows (A/B-verified set-equal) while getting map-side
+    partial aggregation: the shuffle carries ≤ one row per custkey per
+    map partition instead of every order, and no per-partition full sort
+    by (custkey, date, orderkey).  1.2-1.5s → 0.8s at sf1.0."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    top = o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("t")
     )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "o_custkey", "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
-        )
+    return top.select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.date_format("t.o_orderdate", "yyyy-MM-dd").alias("latest_date"),
     )
 
 

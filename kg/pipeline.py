@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from kg.canonicalize import apply_canonical_map, connected_components
 from kg.extract import extract_triples
 from kg.lineage import read_stage, stage_is_complete, write_stage
-from kg.link import HASHED_MINT_CONF, link_triples, link_vocab
+from kg.link import HASHED_MINT_CONF, MINTED_PREFIX, link_triples, link_vocab
 from kg.materialize import (
     build_edges,
     build_nodes,
@@ -41,10 +41,24 @@ def _hashed_mint_on(spark: SparkSession) -> bool:
 
 def _minted_names(vocab: DataFrame) -> DataFrame:
     """(canonical_id, minted_name) dim from the linking vocabulary — lets
-    build_nodes show the surface behind a hashed minted id."""
-    return vocab.where("is_minted").select(
-        F.col("entity_id").alias("canonical_id"),
-        F.col("blocking_key").alias("minted_name"),
+    build_nodes show the surface behind a hashed minted id.
+
+    r6 (ADVICE r5): the vocabulary is distinct per raw SURFACE, so two
+    surfaces normalizing to one blocking key ('[[Foo]]' vs '[[foo]]')
+    yield the same (entity_id, blocking_key) twice — without the
+    .distinct() the build_nodes left join fanned the node table out to
+    duplicate rows per minted id.  Tool-surface misses are also
+    is_minted (their entity_id is 'tool:<name>'); they are excluded so
+    plain and hashed modes show the same prefix-stripped tool display
+    name."""
+    return (
+        vocab.where("is_minted")
+        .where(F.col("entity_id").startswith(MINTED_PREFIX))
+        .select(
+            F.col("entity_id").alias("canonical_id"),
+            F.col("blocking_key").alias("minted_name"),
+        )
+        .distinct()
     )
 
 

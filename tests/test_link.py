@@ -120,3 +120,47 @@ def test_hashed_mint_conf_resolution(spark, catalog_df):
         spark.conf.unset(HASHED_MINT_CONF)
     row = link_surfaces(surf, catalog_df).collect()[0]
     assert row["entity_id"] == "new:unseen surface xyz"
+
+
+def test_minted_names_dedup_and_tool_exclusion(spark):
+    """r6 (ADVICE r5, high+medium): under hashed-minted-id mode, two
+    surfaces sharing a blocking key must yield ONE node row (not a
+    fan-out per surface variant), and tool entities keep the
+    prefix-stripped display name instead of the raw 'tool::<name>' key."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from kg.link import HASHED_MINT_CONF
+    from kg.pipeline import run_pipeline
+    from kg.schema import ALIAS_PAIRS_SCHEMA, CATALOG_SCHEMA, TRANSCRIPTS_SCHEMA
+
+    rows = [
+        ("c1", 0, "user", "see [[Foo Bar]] and [[Widget]]", None,
+         dt.datetime(2025, 1, 1)),
+        ("c1", 1, "tool", "made [[foo  bar]] here", "search",
+         dt.datetime(2025, 1, 1)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["tool"] = pdf["tool"].astype("string")
+    tr = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    cat = spark.createDataFrame([], CATALOG_SCHEMA)
+    ap = spark.createDataFrame([], ALIAS_PAIRS_SCHEMA)
+    spark.conf.set(HASHED_MINT_CONF, "true")
+    try:
+        res = run_pipeline(spark, tr, cat, ap)
+        nodes = res["nodes"].collect()
+    finally:
+        spark.conf.unset(HASHED_MINT_CONF)
+    by_id = {}
+    for r in nodes:
+        by_id.setdefault(r["canonical_id"], []).append(r)
+    # 'Foo Bar' and 'foo  bar' share blocking_key 'foo bar' => ONE row
+    dupes = {k: v for k, v in by_id.items() if len(v) > 1}
+    assert dupes == {}, f"duplicate node rows per canonical_id: {dupes}"
+    minted = [r for r in nodes if r["schema_class"] == "minted"]
+    assert {"foo bar", "widget"} == {r["display_name"] for r in minted}
+    tool = [r for r in nodes if r["canonical_id"] == "tool:search"]
+    assert len(tool) == 1 and tool[0]["display_name"] == "search"
