@@ -102,21 +102,31 @@ def a2_latest_top1_per_group(spark, sf_dir):
     """A2 (ReactomeBatchImporter.java:608-628): latest-modified top-1 per
     source; losers discarded.
 
-    r6: row_number window → max(struct(o_orderdate, o_orderkey)) — the
-    rn=1 row under (date desc, orderkey desc) IS the lexicographic max
-    of the (date, orderkey) pair (both non-null here), so the aggregate
-    gives identical rows (A/B-verified set-equal) while getting map-side
-    partial aggregation: the shuffle carries ≤ one row per custkey per
-    map partition instead of every order, and no per-partition full sort
-    by (custkey, date, orderkey).  1.2-1.5s → 0.8s at sf1.0."""
+    r6: row_number window → max over a single packed value.  The rn=1
+    row under (date desc, orderkey desc) IS the lexicographic max of the
+    (date, orderkey) pair (both non-null here), and packing it as
+    micros(date)·10¹⁹ + orderkey into one DECIMAL(38,0) is
+    order-preserving (0 ≤ orderkey < 10¹⁹ = bigint range, product ≤
+    ~9·10³³ < 10³⁸).  Unlike the intermediate max(struct(...)) form, a
+    fixed-width decimal aggregation buffer is HASH-aggregable: the plan
+    is HashAggregate→Exchange→HashAggregate with NO map-side Sort of the
+    orders table (the struct form fell back to SortAggregate, which
+    sorted every row by custkey first — as expensive as the window it
+    replaced).  Decode is exact integer div/pmod; same winner per group,
+    oracle hash unchanged."""
     o = _t(spark, sf_dir, "orders")
-    top = o.groupBy("o_custkey").agg(
-        F.max(F.struct("o_orderdate", "o_orderkey")).alias("t")
+    b = F.lit("10000000000000000000").cast("decimal(20,0)")  # 10^19
+    enc = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .cast("decimal(19,0)") * b
+        + F.col("o_orderkey").cast("decimal(19,0)")
     )
+    top = o.groupBy("o_custkey").agg(F.max(enc).alias("e"))
+    micros = ((F.col("e") - F.pmod("e", b)) / b).cast("long")
     return top.select(
         "o_custkey",
-        F.col("t.o_orderkey").alias("o_orderkey"),
-        F.date_format("t.o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        F.pmod("e", b).cast("long").alias("o_orderkey"),
+        F.date_format(F.timestamp_micros(micros), "yyyy-MM-dd").alias("latest_date"),
     )
 
 
@@ -242,13 +252,45 @@ def s5_class_counts(spark, sf_dir):
 )
 def j1_endpoint_resolution(spark, sf_dir):
     """J1 (ReactomeBatchImporter.java:643-647): visited-map equi-joins
-    resolving edge endpoints through id dimensions."""
+    resolving edge endpoints through id dimensions.
+
+    r6 (guide §2.3 "aggregate before you shuffle", §3.1): two regimes,
+    picked by a free parquet-footer size probe.  While orders fits
+    broadcast, the round-start shape is already optimal — the fact table
+    is never shuffled, the only exchange is 25 partial-agged nationkey
+    rows.  Above the gate the old form degrades to shuffling EVERY
+    lineitem row by l_orderkey for a sort-merge join; instead count per
+    l_orderkey first (map-side combine; o_orderkey is unique, so Σ
+    per-order counts ≡ count of joined rows), so the shuffle moves one
+    row per order, not one per lineitem.  Same rows either way — oracle
+    hash unchanged, branch equality asserted in tests."""
+    from kg.canonicalize import _fits_broadcast
+
     li, o, c = (_t(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
+    cdim = c.select("c_custkey", "c_nationkey")
+    if _fits_broadcast(c, None):
+        cdim = F.broadcast(cdim)
+    if _fits_broadcast(o, None):
+        return (
+            li.select("l_orderkey")
+            .join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cdim, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+    li_cnt = (
+        li.select("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    o_nat = o.select("o_orderkey", "o_custkey").join(
+        cdim, F.col("o_custkey") == F.col("c_custkey")
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        li_cnt.join(o_nat, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .agg(F.sum("_n").cast("long").alias("n_edges"))
     )
 
 

@@ -202,18 +202,27 @@ def link_triples(
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if vocab_small else df
 
+    # r6 (guide §2.4 "remove shuffles outright"): join on an explicit
+    # condition against the UN-renamed cached map for both sides — the
+    # r5 withColumnRenamed projections made the two broadcast subtrees
+    # canonically different, so each rejoin built and shipped its own
+    # broadcast of the same vocabulary; with identical subtrees the
+    # second join's BroadcastExchange becomes a ReusedExchange (one
+    # build, one ship).  Same join keys, same rows.
+    s1, s2 = smap.alias("_s1"), smap.alias("_s2")
     return (
         raw_triples.join(
-            _side(smap.withColumnRenamed("surface", "subj_surface")
-                  .withColumnRenamed("entity_id", "subj_id")),
-            "subj_surface",
+            _side(s1), F.col("subj_surface") == F.col("_s1.surface")
         )
-        .join(
-            _side(smap.withColumnRenamed("surface", "obj_surface")
-                  .withColumnRenamed("entity_id", "obj_id")),
-            "obj_surface",
+        .join(_side(s2), F.col("obj_surface") == F.col("_s2.surface"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "span_start",
+            F.col("_s1.entity_id").alias("subj_id"),
+            "pred",
+            F.col("_s2.entity_id").alias("obj_id"),
         )
-        .select("conv_id", "turn_idx", "span_start", "subj_id", "pred", "obj_id")
     )
 
 

@@ -56,13 +56,24 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_uniq_tokens, len_chars, quality): integer
-    quality features + 0-3 bucket (length / vocabulary-diversity gates)."""
-    w = F.filter(F.split(F.lower("text"), ASCII_WS_RE), lambda x: x != "")
-    d = docs.select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_uniq_tokens"),
-        F.length("text").cast("long").alias("len_chars"),
+    quality features + 0-3 bucket (length / vocabulary-diversity gates).
+
+    r6 (guide §1.2 per-task work): the words array is materialized in
+    its OWN projection before size()/array_distinct() consume it —
+    inlining it evaluates the split+filter twice per row (plan showed
+    the duplicated expression, and the HOF filter makes that projection
+    interpreted, not codegen).  CollapseProject keeps the split because
+    the attribute is non-cheap and referenced twice."""
+    d = (
+        docs.withColumn(
+            "_w", F.filter(F.split(F.lower("text"), ASCII_WS_RE), lambda x: x != "")
+        )
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("_w")).cast("long").alias("n_uniq_tokens"),
+            F.length("text").cast("long").alias("len_chars"),
+        )
     )
     quality = (
         F.when(F.col("n_tokens") < 10, 0)

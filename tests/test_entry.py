@@ -99,3 +99,19 @@ def test_text_top_tokens_two_phase_equals_one_phase(spark):
     assert sorted(map(tuple, two_phase.collect())) == sorted(
         map(tuple, one_phase.collect())
     )
+
+
+def test_j1_preagg_branch_equals_broadcast_branch(spark):
+    """r6 (guide §2.3): above the broadcast gate j1 switches to the
+    count-per-order pre-aggregation; both branches must produce the
+    identical nationkey counts."""
+    from kg.entry_queries import _REGISTRY
+
+    fn = _REGISTRY["j1_endpoint_resolution"][0]
+    default = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    spark.conf.set("spark.kg.broadcastRowThreshold", "1")
+    try:
+        preagg = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.unset("spark.kg.broadcastRowThreshold")
+    assert default == preagg

@@ -164,3 +164,29 @@ def test_minted_names_dedup_and_tool_exclusion(spark):
     assert {"foo bar", "widget"} == {r["display_name"] for r in minted}
     tool = [r for r in nodes if r["canonical_id"] == "tool:search"]
     assert len(tool) == 1 and tool[0]["display_name"] == "search"
+
+
+def test_link_rejoins_share_one_broadcast(spark):
+    """r6: the subj/obj vocabulary rejoins must be canonically identical
+    so the second broadcast becomes a ReusedExchange (with AQE on, the
+    same canonical equality drives stage-cache reuse).  Evidence taken
+    with AQE off where the reuse is visible in the executed plan."""
+    from kg.link import link_triples
+
+    raw = spark.createDataFrame(
+        [(1, 0, 0, "Foo", "uses", "Bar"), (1, 1, 3, "Bar", "likes", "Baz")],
+        "conv_id long, turn_idx int, span_start int, "
+        "subj_surface string, pred string, obj_surface string",
+    )
+    cat = spark.createDataFrame(
+        [("E1", ["Foo", "Bar"])], "entity_id string, aliases array<string>"
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = link_triples(raw, cat)
+        out.collect()
+        s = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in s
