@@ -115,3 +115,50 @@ def test_j1_preagg_branch_equals_broadcast_branch(spark):
     finally:
         spark.conf.unset("spark.kg.broadcastRowThreshold")
     assert default == preagg
+
+
+def test_a2_decimal_packing_equals_window_on_edge_values(spark):
+    """r6: the DECIMAL(38,0)-packed top-1 must agree with the plain
+    row_number window, including extreme orderkeys (near bigint max)
+    and date/orderkey ties."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from kg.entry_queries import _REGISTRY
+
+    rows = [
+        (1, 9_000_000_000_000_000_000, dt.datetime(1998, 1, 1)),
+        (1, 2, dt.datetime(1998, 1, 1)),          # date tie -> higher key wins
+        (1, 9_199_999_999_999_999_999, dt.datetime(1997, 1, 1)),
+        (2, 7, dt.datetime(1992, 6, 15, 23, 59, 59)),
+        (2, 6, dt.datetime(1992, 6, 16)),          # later date beats higher key
+        (3, 1, dt.datetime(1970, 1, 1)),           # epoch boundary
+    ]
+    o = spark.createDataFrame(
+        [(c, k, d) for c, k, d in rows],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp_ntz",
+    )
+    import os
+    import tempfile
+    sf_dir = tempfile.mkdtemp()
+    o.write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+    packed = sorted(
+        map(tuple, _REGISTRY["a2_latest_top1_per_group"][0](spark, sf_dir).collect())
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    window_form = sorted(
+        map(
+            tuple,
+            o.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            )
+            .collect(),
+        )
+    )
+    assert packed == window_form
