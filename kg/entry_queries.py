@@ -217,12 +217,12 @@ def w3_ordered_list_agg(spark, sf_dir):
     """P2/W3 (ReactomeBatchImporter.java:531-546, 1013): multi-valued
     attribute materialized as ordered list (emitted as CSV string)."""
     li = _t(spark, sf_dir, "lineitem")
+    # r6 (guide §4.1): the element-wise cast is a plain array cast
+    # (codegen), not a transform lambda (interpreted per element); the
+    # numeric sort happens before the cast, as in the oracle's ORDER BY
     return li.groupBy("l_orderkey").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("l_linenumber")),
-                lambda x: x.cast("string"),
-            ),
+            F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"),
             ",",
         ).alias("lines_csv")
     )
@@ -1249,9 +1249,12 @@ def p20_first_element(spark, sf_dir):
     ordered = F.array_sort(
         F.collect_list(F.struct("l_linenumber", "l_partkey"))
     )
+    # r6 (guide §4.1): field extraction over the sorted struct array is
+    # GetArrayStructFields + an array cast (both codegen) instead of a
+    # per-element transform lambda (interpreted)
     return li.groupBy("l_orderkey").agg(
         F.array_join(
-            F.transform(ordered, lambda s: s["l_partkey"].cast("string")), ","
+            ordered.getField("l_partkey").cast("array<string>"), ","
         ).alias("all_parts"),
         F.element_at(ordered, 1)["l_partkey"].cast("long").alias("species_first"),
     )
