@@ -327,15 +327,19 @@ def build_nodes(
             "canonical_name",
             "entity_type",
         )
-        # representative row = min entity_id within the component
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("canonical_id").orderBy("entity_id")
-            ),
+        # representative row = min entity_id within the component.  r6
+        # (same fix class as the CC star steps, VERDICT r5 #2): the row_
+        # number window funneled a giant alias component — the named
+        # "hyper-common alias" hazard — through ONE task; min(struct)
+        # aggregation gets map-side partial aggregation instead (entity_id
+        # is the catalog PK, so the struct min IS the rn=1 row).
+        .groupBy("canonical_id")
+        .agg(F.min(F.struct("entity_id", "canonical_name", "entity_type")).alias("_t"))
+        .select(
+            "canonical_id",
+            F.col("_t.canonical_name").alias("canonical_name"),
+            F.col("_t.entity_type").alias("entity_type"),
         )
-        .where(F.col("rn") == 1)
-        .drop("rn", "entity_id")
     )
     spark = canonical_triples.sparkSession
     labels_df = F.broadcast(
@@ -510,7 +514,7 @@ def discarded_catalog_entities(catalog: DataFrame, mapping: DataFrame) -> DataFr
     alias component won (min entity_id).  Returns (entity_id,
     canonical_id); count it into the run manifest like the reference's
     import summary."""
-    ranked = (
+    pairs = (
         catalog.join(
             mapping.withColumnRenamed("node", "entity_id"), "entity_id", "left"
         )
@@ -518,14 +522,17 @@ def discarded_catalog_entities(catalog: DataFrame, mapping: DataFrame) -> DataFr
             F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
             "entity_id",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("canonical_id").orderBy("entity_id")
-            ),
-        )
     )
-    return ranked.where(F.col("rn") > 1).select("entity_id", "canonical_id")
+    # r6 (VERDICT r5 #2 fix class): losers = rows above the per-component
+    # min — groupBy min + join-back instead of a row_number window, so a
+    # giant component's rows partial-aggregate map-side and the join-back
+    # is AQE-skew-splittable rather than a single window task.
+    mins = pairs.groupBy("canonical_id").agg(F.min("entity_id").alias("_mn"))
+    return (
+        pairs.join(mins, "canonical_id")
+        .where(F.col("entity_id") != F.col("_mn"))
+        .select("entity_id", "canonical_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,34 @@ def test_discarded_catalog_entities_counts_top1_losers(spark, catalog_df):
     d = discarded_catalog_entities(catalog_df, mapping).collect()
     ids = {r["entity_id"] for r in d}
     assert ids == {"cat:Q00001", "cat:Q00002"}
+
+
+def test_node_rep_and_discarded_have_no_window(spark):
+    """r6 (VERDICT r5 #2 fix class): the representative-per-component
+    selection in build_nodes and the loser set in
+    discarded_catalog_entities must plan as aggregations (map-side
+    partial agg over a giant alias component), not row_number windows
+    (one unsplittable task per component)."""
+    from pyspark.sql import functions as F
+
+    from kg.materialize import build_nodes, discarded_catalog_entities
+
+    cat = spark.createDataFrame(
+        [("E1", "Alpha", "concept", ["Alpha"]), ("E2", "Beta", "concept", ["Beta"])],
+        "entity_id string, canonical_name string, entity_type string, aliases array<string>",
+    )
+    mapping = spark.createDataFrame(
+        [("E2", "E1")], "node string, canonical_id string"
+    )
+    triples = spark.createDataFrame(
+        [("c1", 0, 0, "E1", "uses", "E2")],
+        "conv_id string, turn_idx int, span_start int, "
+        "subj_id string, pred string, obj_id string",
+    )
+    nodes = build_nodes(triples, cat, mapping, None)
+    disc = discarded_catalog_entities(cat, mapping)
+    for df in (nodes, disc):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, plan
+    # semantics unchanged: E1 wins the merged component, E2 is discarded
+    assert [tuple(r) for r in disc.collect()] == [("E2", "E1")]
