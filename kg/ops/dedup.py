@@ -401,28 +401,41 @@ def near_dup_clusters(
     # longer than len, so a 12-char pad would silently collapse distinct
     # 13+-digit doc_ids into one CC node (ADVICE r3).
     pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    # eager persist: the mapping now has TWO consumers (the clustered
+    # inner join and the singleton anti join); in the distributed-CC
+    # regime an unpinned mapping re-runs the reps aggregation per
+    # consumer (measured 2× the election cost at the x10 scale), and the
+    # count doubles as the cache fill.  Dup-graph-sized — bounded.
     mapping = connected_components(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     ).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("cluster_id"),
-    )
-    asg = docs.select("doc_id", "n_chars").join(mapping, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        "n_chars",
-    )
+    ).persist()
+    mapping.count()
     # keeper = longest doc, ties to min doc_id.  r6 (VERDICT r5 #2 fix
-    # class): first() over a cluster-partitioned window funnels a whole
-    # boilerplate mega-cluster through one task; min(struct(-n_chars,
-    # doc_id)) partial-aggregates map-side and the join-back is
-    # AQE-skew-splittable.  Same keeper per cluster by construction.
-    keepers = asg.groupBy("cluster_id").agg(
+    # class, second iteration): the old form ran a cluster-partitioned
+    # window over EVERY doc — one unsplittable task per boilerplate
+    # mega-cluster, and all singleton docs dragged through the exchange
+    # for nothing.  A doc in no pair is its own keeper by definition, so
+    # the election now runs only over the CLUSTERED docs (dup-graph-
+    # sized, tiny vs the corpus) as min(struct(-n_chars, doc_id)) with
+    # map-side partial aggregation + an AQE-skew-splittable join-back;
+    # singletons take a broadcast anti-join against the mapping and a
+    # pure projection.  Same rows as the window form by construction.
+    clustered = docs.select("doc_id", "n_chars").join(mapping, "doc_id")
+    keepers = clustered.groupBy("cluster_id").agg(
         F.min(F.struct((-F.col("n_chars")).alias("_neg"), F.col("doc_id"))).alias("_k")
     ).select("cluster_id", F.col("_k.doc_id").alias("keeper_doc_id"))
-    return asg.join(keepers, "cluster_id").select(
+    out_clustered = clustered.join(keepers, "cluster_id").select(
         "doc_id", "cluster_id", "keeper_doc_id"
     )
+    singles = docs.select("doc_id").join(mapping, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("keeper_doc_id"),
+    )
+    return out_clustered.unionByName(singles)
 
 
 def near_dup_dedup(
